@@ -1,0 +1,24 @@
+from fastvim_tpu.ops.conv import causal_conv1d, causal_conv1d_update
+from fastvim_tpu.ops.norms import add_norm, layer_norm, rms_norm
+from fastvim_tpu.ops.scan import (
+    broadcast_tokens,
+    pool_tokens,
+    selective_scan,
+    selective_scan_assoc,
+    selective_scan_ref,
+)
+from fastvim_tpu.ops.state_update import selective_state_update
+
+__all__ = [
+    "add_norm",
+    "broadcast_tokens",
+    "causal_conv1d",
+    "causal_conv1d_update",
+    "layer_norm",
+    "pool_tokens",
+    "rms_norm",
+    "selective_scan",
+    "selective_scan_assoc",
+    "selective_scan_ref",
+    "selective_state_update",
+]

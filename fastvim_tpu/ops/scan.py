@@ -1,0 +1,228 @@
+"""Selective-scan (Mamba SSM) ops, TPU-native.
+
+The selective scan computes, per (batch, channel) pair, the linear recurrence
+
+    h[t] = exp(delta[t] * A) * h[t-1] + delta[t] * B[t] * u[t]
+    y[t] = <C[t], h[t]> (+ D * u[t]) (* silu(z[t]))
+
+Semantics match the reference golden model
+(`mamba-1p1p1/mamba_ssm/ops/selective_scan_interface.py:126-206`,
+`selective_scan_ref`) but the layout here is channels-last ``(batch, L, d)``
+— the natural TPU layout (feature dim on lanes) — instead of torch's
+``(batch, d, L)``.
+
+Three implementations:
+
+* ``impl="ref"``    — sequential ``lax.scan`` oracle (the spec).
+* ``impl="assoc"``  — ``lax.associative_scan`` log-depth scan; pure XLA,
+  fuses well, works on every backend. Default for short/pooled sequences.
+* ``impl="pallas"`` — chunked Pallas TPU kernel for long sequences
+  (see :mod:`fastvim_tpu.ops.pallas.selective_scan`).
+
+All scan math is fp32 regardless of input dtype (mirrors the reference
+kernels, which upcast to float for the recurrence); output is cast back to
+the input dtype.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Array = jax.Array
+
+
+def _expand_bc(mat: Array, batch: int, L: int, d: int, n: int) -> Array:
+    """Broadcast B/C to (batch, L, d, n) from any supported layout.
+
+    Supported layouts (mirroring `selective_scan_ref` docstring,
+    selective_scan_interface.py:139-146):
+      (d, n)           constant over batch/time
+      (batch, L, n)    input-dependent (the Mamba/FastVim case)
+      (batch, L, g, n) grouped input-dependent; groups broadcast over d//g
+    """
+    if mat.ndim == 2:  # (d, n)
+        return mat[None, None].astype(jnp.float32)
+    if mat.ndim == 3:  # (batch, L, n)
+        return mat[:, :, None, :].astype(jnp.float32)
+    if mat.ndim == 4:  # (batch, L, g, n)
+        g = mat.shape[2]
+        rep = d // g
+        mat = jnp.repeat(mat, rep, axis=2)  # (batch, L, d, n)
+        return mat.astype(jnp.float32)
+    raise ValueError(f"unsupported B/C shape {mat.shape}")
+
+
+def _prepare(u, delta, A, B, C, delta_bias, delta_softplus):
+    """Common fp32 preparation: biased/softplused delta, scan elements a, b."""
+    batch, L, d = u.shape
+    n = A.shape[1]
+    u = u.astype(jnp.float32)
+    delta = delta.astype(jnp.float32)
+    if delta_bias is not None:
+        delta = delta + delta_bias.astype(jnp.float32)[None, None, :]
+    if delta_softplus:
+        delta = jax.nn.softplus(delta)
+    A = A.astype(jnp.float32)
+    # a[t] = exp(delta[t] ⊗ A): (batch, L, d, n)
+    a = jnp.exp(delta[..., None] * A[None, None])
+    Bx = _expand_bc(B, batch, L, d, n)
+    b = delta[..., None] * Bx * u[..., None]  # (batch, L, d, n)
+    Cx = _expand_bc(C, batch, L, d, n)
+    return u, a, b, Cx
+
+
+def _finalize(y, u, D, z, dtype):
+    if D is not None:
+        y = y + u * D.astype(jnp.float32)[None, None, :]
+    if z is not None:
+        y = y * jax.nn.silu(z.astype(jnp.float32))
+    return y.astype(dtype)
+
+
+def selective_scan_ref(
+    u: Array,
+    delta: Array,
+    A: Array,
+    B: Array,
+    C: Array,
+    D: Optional[Array] = None,
+    z: Optional[Array] = None,
+    delta_bias: Optional[Array] = None,
+    delta_softplus: bool = False,
+    return_last_state: bool = False,
+):
+    """Sequential oracle. u/delta/z: (batch, L, d); A: (d, n); D: (d,).
+
+    B, C: (d, n) | (batch, L, n) | (batch, L, g, n).
+    Returns y (batch, L, d) [and last_state (batch, d, n)].
+    """
+    dtype = u.dtype
+    u32, a, b, Cx = _prepare(u, delta, A, B, C, delta_bias, delta_softplus)
+    batch, L, d = u.shape
+    n = A.shape[1]
+
+    def step(h, ab):
+        at, bt = ab  # (batch, d, n)
+        h = at * h + bt
+        return h, h
+
+    h0 = jnp.zeros((batch, d, n), jnp.float32)
+    a_t = jnp.moveaxis(a, 1, 0)
+    b_t = jnp.moveaxis(b, 1, 0)
+    h_last, hs = lax.scan(step, h0, (a_t, b_t))
+    hs = jnp.moveaxis(hs, 0, 1)  # (batch, L, d, n)
+    y = jnp.sum(hs * Cx, axis=-1)
+    out = _finalize(y, u32, D, z, dtype)
+    if return_last_state:
+        return out, h_last
+    return out
+
+
+def _assoc_combine(left, right):
+    a1, b1 = left
+    a2, b2 = right
+    return a2 * a1, a2 * b1 + b2
+
+
+def selective_scan_assoc(
+    u, delta, A, B, C,
+    D=None, z=None, delta_bias=None, delta_softplus=False,
+    return_last_state=False,
+):
+    """Log-depth associative scan (XLA). Same contract as selective_scan_ref."""
+    dtype = u.dtype
+    u32, a, b, Cx = _prepare(u, delta, A, B, C, delta_bias, delta_softplus)
+    _, hs = lax.associative_scan(_assoc_combine, (a, b), axis=1)
+    y = jnp.sum(hs * Cx, axis=-1)
+    out = _finalize(y, u32, D, z, dtype)
+    if return_last_state:
+        return out, hs[:, -1]
+    return out
+
+
+def selective_scan(
+    u, delta, A, B, C,
+    D=None, z=None, delta_bias=None, delta_softplus=False,
+    return_last_state=False, impl: str = "auto",
+):
+    """Dispatching entry point.
+
+    impl="auto" picks the associative XLA scan for short sequences and the
+    Pallas chunked kernel for long ones on TPU (falling back to assoc
+    elsewhere).
+    """
+    if impl == "auto":
+        L = u.shape[1]
+        on_tpu = jax.default_backend() == "tpu"
+        use_pallas = (
+            on_tpu
+            and L >= 512
+            and z is None
+            and B.ndim == 3
+            and C.ndim == 3
+            and not return_last_state
+        )
+        impl = "pallas" if use_pallas else "assoc"
+    if impl == "ref":
+        fn = selective_scan_ref
+    elif impl == "assoc":
+        fn = selective_scan_assoc
+    elif impl == "pallas":
+        from fastvim_tpu.ops.pallas.selective_scan import selective_scan_pallas
+
+        return selective_scan_pallas(
+            u, delta, A, B, C, D=D, delta_bias=delta_bias,
+            delta_softplus=delta_softplus,
+        )
+    else:
+        raise ValueError(f"unknown impl {impl!r}")
+    return fn(
+        u, delta, A, B, C, D=D, z=z, delta_bias=delta_bias,
+        delta_softplus=delta_softplus, return_last_state=return_last_state,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pooled (FastVim) helpers
+# ---------------------------------------------------------------------------
+
+def pool_tokens(
+    x: Array, rows: int, cols: int, method: str = "mean",
+    scaling_factor: float = 1.0,
+) -> Array:
+    """Average/max-pool the token sequence along the fast (col) axis.
+
+    x: (batch, rows*cols, d) in raster order → (batch, rows, d).
+    Mirrors the reference's compressed-input construction
+    (mamba_simple_faster.py:287-305): reshape (b, d, rows, cols) and reduce
+    over cols; here done channels-last.
+    """
+    b, L, d = x.shape
+    assert L == rows * cols, (L, rows, cols)
+    xg = x.reshape(b, rows, cols, d)
+    if method == "mean":
+        out = jnp.mean(xg, axis=2)
+        if scaling_factor != 1.0:
+            out = out * scaling_factor
+    elif method == "max":
+        out = jnp.max(xg, axis=2)
+    else:
+        raise ValueError(f"unknown collapse method {method!r}")
+    return out
+
+
+def broadcast_tokens(y: Array, cols: int) -> Array:
+    """Inverse of pool_tokens: repeat each row output to its cols tokens.
+
+    y: (batch, rows, d) → (batch, rows*cols, d). Mirrors
+    `repeat_interleave(num_of_col, dim=2)` (mamba_simple_faster.py:356).
+    """
+    b, rows, d = y.shape
+    return jnp.broadcast_to(
+        y[:, :, None, :], (b, rows, cols, d)
+    ).reshape(b, rows * cols, d)

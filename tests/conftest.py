@@ -1,0 +1,19 @@
+"""Test config: force an 8-virtual-device CPU mesh before jax import.
+
+The reference has CUDA-only kernel tests (test_selective_scan.py:42); here
+everything runs on CPU with a simulated 8-device mesh so sharding/pjit
+paths are exercised without TPU hardware (SURVEY.md §4 implication).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")

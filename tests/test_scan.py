@@ -1,0 +1,195 @@
+"""Selective-scan parity tests.
+
+Mirrors the reference kernel test strategy
+(`mamba-1p1p1/tests/ops/test_selective_scan.py`: fwd+bwd vs
+selective_scan_ref over a parameter grid) and the compressed-kernel tests
+(`fastvim_kernel/mamba-1p1p1/tests/test_compressed_scan.py`: compression
+factors {1,2,8}, pooled-scan semantics), with a numpy golden model as the
+independent oracle.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastvim_tpu.ops import (
+    broadcast_tokens,
+    pool_tokens,
+    selective_scan,
+    selective_scan_assoc,
+    selective_scan_ref,
+)
+from fastvim_tpu.ops.pallas.selective_scan import selective_scan_pallas
+
+
+def numpy_scan(u, delta, A, B, C, D=None, z=None, delta_bias=None,
+               delta_softplus=False):
+    """Independent numpy oracle, channels-last (batch, L, d)."""
+    u = np.asarray(u, np.float64)
+    delta = np.asarray(delta, np.float64)
+    if delta_bias is not None:
+        delta = delta + np.asarray(delta_bias, np.float64)[None, None]
+    if delta_softplus:
+        delta = np.logaddexp(0.0, delta)
+    batch, L, d = u.shape
+    n = A.shape[1]
+    A = np.asarray(A, np.float64)
+    B = np.asarray(B, np.float64)
+    C = np.asarray(C, np.float64)
+    h = np.zeros((batch, d, n))
+    ys = np.zeros((batch, L, d))
+    for t in range(L):
+        dA = np.exp(delta[:, t, :, None] * A[None])  # (batch, d, n)
+        if B.ndim == 2:  # (d, n) constant
+            dBu = delta[:, t, :, None] * B[None] * u[:, t, :, None]
+        else:  # (batch, L, n) variable
+            dBu = (delta[:, t, :, None] * B[:, t][:, None, :]
+                   * u[:, t, :, None])
+        h = dA * h + dBu
+        if C.ndim == 2:
+            ys[:, t] = np.einsum("bdn,dn->bd", h, C)
+        else:
+            ys[:, t] = np.einsum("bdn,bn->bd", h, C[:, t])
+    if D is not None:
+        ys = ys + u * np.asarray(D, np.float64)[None, None]
+    if z is not None:
+        zz = np.asarray(z, np.float64)
+        ys = ys * (zz / (1 + np.exp(-zz)))
+    return ys
+
+
+def make_inputs(rng, batch, L, d, n, var_bc=True, dtype=jnp.float32):
+    ks = jax.random.split(rng, 8)
+    u = jax.random.normal(ks[0], (batch, L, d), dtype)
+    delta = 0.5 * jax.random.normal(ks[1], (batch, L, d), dtype)
+    A = -jnp.exp(jax.random.normal(ks[2], (d, n)) * 0.5)
+    if var_bc:
+        B = jax.random.normal(ks[3], (batch, L, n), dtype)
+        C = jax.random.normal(ks[4], (batch, L, n), dtype)
+    else:
+        B = jax.random.normal(ks[3], (d, n))
+        C = jax.random.normal(ks[4], (d, n))
+    D = jax.random.normal(ks[5], (d,))
+    z = jax.random.normal(ks[6], (batch, L, d), dtype)
+    bias = 0.1 * jax.random.normal(ks[7], (d,))
+    return u, delta, A, B, C, D, z, bias
+
+
+@pytest.mark.parametrize("L", [1, 4, 33, 128])
+@pytest.mark.parametrize("var_bc", [True, False])
+def test_ref_matches_numpy(L, var_bc):
+    u, delta, A, B, C, D, z, bias = make_inputs(
+        jax.random.PRNGKey(0), 2, L, 8, 4, var_bc)
+    got = selective_scan_ref(u, delta, A, B, C, D=D, z=z, delta_bias=bias,
+                             delta_softplus=True)
+    want = numpy_scan(u, delta, A, B, C, D=D, z=z, delta_bias=bias,
+                      delta_softplus=True)
+    # fp32 scan vs fp64 oracle: tolerance grows with accumulation length
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-2, atol=1e-3)
+
+
+@pytest.mark.parametrize("L", [1, 7, 64, 300])
+@pytest.mark.parametrize("var_bc", [True, False])
+def test_assoc_matches_ref(L, var_bc):
+    u, delta, A, B, C, D, z, bias = make_inputs(
+        jax.random.PRNGKey(1), 2, L, 16, 8, var_bc)
+    ref, ref_state = selective_scan_ref(
+        u, delta, A, B, C, D=D, z=z, delta_bias=bias, delta_softplus=True,
+        return_last_state=True)
+    got, got_state = selective_scan_assoc(
+        u, delta, A, B, C, D=D, z=z, delta_bias=bias, delta_softplus=True,
+        return_last_state=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_state), np.asarray(ref_state),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_assoc_grads_match_ref():
+    u, delta, A, B, C, D, z, bias = make_inputs(
+        jax.random.PRNGKey(2), 2, 24, 8, 4)
+
+    def loss(fn, args):
+        u, delta, A, B, C, D, bias = args
+        y = fn(u, delta, A, B, C, D=D, delta_bias=bias, delta_softplus=True)
+        return jnp.sum(y * jnp.cos(jnp.arange(y.size).reshape(y.shape)))
+
+    args = (u, delta, A, B, C, D, bias)
+    g_ref = jax.grad(lambda a: loss(selective_scan_ref, a))(args)
+    g_assoc = jax.grad(lambda a: loss(selective_scan_assoc, a))(args)
+    for gr, ga in zip(g_ref, g_assoc):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gr),
+                                   rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("L,block_l", [(16, 8), (64, 16), (300, 128)])
+def test_pallas_matches_ref(L, block_l):
+    d, n = 256, 16
+    u, delta, A, B, C, D, z, bias = make_inputs(
+        jax.random.PRNGKey(3), 2, L, d, n)
+    ref = selective_scan_ref(u, delta, A, B, C, D=D, delta_bias=bias,
+                             delta_softplus=True)
+    got = selective_scan_pallas(u, delta, A, B, C, D=D, delta_bias=bias,
+                                delta_softplus=True, block_l=block_l,
+                                block_d=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_grads_match_ref():
+    d, n = 128, 8
+    u, delta, A, B, C, D, z, bias = make_inputs(
+        jax.random.PRNGKey(4), 1, 32, d, n)
+
+    def run(fn):
+        def loss(args):
+            u, delta, A, B, C, D, bias = args
+            y = fn(u, delta, A, B, C, D=D, delta_bias=bias,
+                   delta_softplus=True)
+            return jnp.sum(jnp.tanh(y))
+        return jax.grad(loss)((u, delta, A, B, C, D, bias))
+
+    g_ref = run(selective_scan_ref)
+    g_pal = run(lambda *a, **k: selective_scan_pallas(
+        *a, **k, block_l=8, block_d=128, interpret=True))
+    for gr, gp in zip(g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                                   rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("cols", [1, 2, 8])
+@pytest.mark.parametrize("method", ["mean", "max"])
+def test_pooled_scan_matches_compressed_ref(cols, method):
+    """Pooled scan + broadcast + D·u == the compressed golden model
+    (faster_mamba_ssm/ops/selective_scan_interface.py:162-252)."""
+    rng = jax.random.PRNGKey(5)
+    batch, rows, d, n = 2, 6, 8, 4
+    L = rows * cols
+    u, delta_c, A, B, C, D, z, bias = make_inputs(rng, batch, rows, d, n)
+    x_full = jax.random.normal(jax.random.PRNGKey(6), (batch, L, d))
+    x_c = pool_tokens(x_full, rows, cols, method)
+    y_c = selective_scan_ref(x_c, delta_c, A, B, C, D=None, delta_bias=bias,
+                             delta_softplus=True)
+    y = broadcast_tokens(y_c, cols) + D[None, None] * x_full
+    # manual check
+    xg = np.asarray(x_full).reshape(batch, rows, cols, d)
+    xc_np = xg.mean(2) if method == "mean" else xg.max(2)
+    np.testing.assert_allclose(np.asarray(x_c), xc_np, rtol=1e-6, atol=1e-6)
+    yc_np = numpy_scan(xc_np, delta_c, A, B, C, delta_bias=bias,
+                       delta_softplus=True)
+    y_np = (np.repeat(yc_np, cols, axis=1)
+            + np.asarray(D)[None, None] * np.asarray(x_full))
+    np.testing.assert_allclose(np.asarray(y), y_np, rtol=5e-3, atol=1e-3)
+
+
+def test_dispatch():
+    u, delta, A, B, C, D, z, bias = make_inputs(
+        jax.random.PRNGKey(7), 1, 16, 8, 4)
+    a = selective_scan(u, delta, A, B, C, D=D, impl="ref")
+    b = selective_scan(u, delta, A, B, C, D=D, impl="assoc")
+    c = selective_scan(u, delta, A, B, C, D=D, impl="auto")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-4,
+                               atol=1e-4)
