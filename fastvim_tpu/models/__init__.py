@@ -1,0 +1,21 @@
+from fastvim_tpu.models.blocks import Block, rotate_grid
+from fastvim_tpu.models.mixer import MambaMixer
+from fastvim_tpu.models.patch_embed import PatchEmbed, resize_pos_embed
+from fastvim_tpu.models.registry import (
+    create_model,
+    list_models,
+    register_model,
+)
+from fastvim_tpu.models.vision_mamba import VisionMamba
+
+__all__ = [
+    "Block",
+    "MambaMixer",
+    "PatchEmbed",
+    "VisionMamba",
+    "create_model",
+    "list_models",
+    "register_model",
+    "resize_pos_embed",
+    "rotate_grid",
+]

@@ -1,0 +1,172 @@
+"""Bidirectional (FastVim/Vim) Mamba mixer, TPU-native.
+
+One composable module subsumes the reference's four mixer copies
+(`mamba_simple.py`, `mamba_simple_faster.py`, and — via the masked/channel
+subclasses elsewhere — the MAE and ChannelVim variants):
+
+* ``collapse_method="mean"|"max"``: FastVim pooled scan — conv output is
+  pooled along the fast (col) axis before the scan, scan runs over rows
+  only, output is broadcast back and per-token fidelity restored through
+  the ``D·conv_out`` skip term (mamba_simple_faster.py:287-305, 356-358).
+* ``collapse_method="none"``: plain Vim — full-length scan (the
+  ``pool_factor==1`` degenerate case; same math since ``y + D·u`` commutes
+  with no pooling), matching `mamba_simple.py:211-255`.
+
+Layout is channels-last (batch, L, d); scan math fp32; GEMMs run in the
+module ``dtype`` (bf16 on TPU feeds the MXU).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from fastvim_tpu.models.layers import (
+    a_log_init,
+    dt_bias_init,
+    dt_proj_kernel_init,
+    torch_linear_init,
+)
+from fastvim_tpu.ops import (
+    broadcast_tokens,
+    causal_conv1d,
+    layer_norm,
+    pool_tokens,
+    selective_scan,
+)
+
+Array = jax.Array
+
+
+class MambaMixer(nn.Module):
+    """Bidirectional selective-scan token mixer.
+
+    Parameters mirror `mamba_simple_faster.Mamba.__init__`
+    (mamba_simple_faster.py:27-68); `n_layer` feeds the GPT-2 out_proj
+    rescale (models/fastvim.py:309-324).
+    """
+
+    d_model: int
+    d_state: int = 16
+    d_conv: int = 4
+    expand: int = 2
+    dt_rank: Any = "auto"
+    dt_min: float = 1e-3
+    dt_max: float = 0.1
+    dt_init: str = "random"
+    dt_scale: float = 1.0
+    dt_init_floor: float = 1e-4
+    conv_bias: bool = True
+    bias: bool = False
+    use_norm_after_ssm: bool = True
+    init_layer_scale: Optional[float] = None
+    collapse_method: str = "mean"  # "mean" | "max" | "none"
+    scaling_factor: float = 1.0
+    n_layer: int = 24
+    norm_eps: float = 1e-5
+    scan_impl: str = "auto"
+    dtype: Any = jnp.float32
+
+    @property
+    def d_inner(self) -> int:
+        return int(self.expand * self.d_model)
+
+    @property
+    def dt_rank_(self) -> int:
+        if self.dt_rank == "auto":
+            return -(-self.d_model // 16)
+        return int(self.dt_rank)
+
+    def _dir_params(self, suffix: str):
+        d_inner, n, r = self.d_inner, self.d_state, self.dt_rank_
+        conv_w = self.param(f"conv1d{suffix}_weight",
+                            torch_linear_init(self.d_conv),
+                            (self.d_conv, d_inner))
+        conv_b = (self.param(f"conv1d{suffix}_bias",
+                             torch_linear_init(self.d_conv), (d_inner,))
+                  if self.conv_bias else None)
+        x_proj_w = self.param(f"x_proj{suffix}_weight",
+                              torch_linear_init(d_inner),
+                              (d_inner, r + 2 * n))
+        dt_w = self.param(f"dt_proj{suffix}_weight",
+                          dt_proj_kernel_init(r, self.dt_scale, self.dt_init),
+                          (r, d_inner))
+        dt_b = self.param(f"dt_proj{suffix}_bias",
+                          dt_bias_init(self.dt_min, self.dt_max,
+                                       self.dt_init_floor), (d_inner,))
+        A_log = self.param(f"A{suffix}_log", a_log_init(n), (d_inner, n))
+        Dp = self.param(f"D{suffix}", nn.initializers.ones, (d_inner,))
+        return conv_w, conv_b, x_proj_w, dt_w, dt_b, A_log, Dp
+
+    def _scan_branch(self, x: Array, params, rows: int, cols: int) -> Array:
+        """One scan direction: conv → (pool) → projections → scan →
+        (broadcast) → + D·conv_out. x: (batch, L, d_inner)."""
+        conv_w, conv_b, x_proj_w, dt_w, dt_b, A_log, Dp = params
+        dtype = self.dtype
+        xc = causal_conv1d(x, conv_w.astype(dtype),
+                           None if conv_b is None else conv_b.astype(dtype))
+        pooled = self.collapse_method != "none"
+        if pooled:
+            xp = pool_tokens(xc, rows, cols, self.collapse_method,
+                             self.scaling_factor)
+        else:
+            xp = xc
+        # x_proj → (dt_rank | n | n); dt_proj applied to the dt slice
+        dbl = jnp.dot(xp, x_proj_w.astype(dtype))
+        r, n = self.dt_rank_, self.d_state
+        dt, Bm, Cm = (dbl[..., :r], dbl[..., r:r + n], dbl[..., r + n:])
+        dt = jnp.dot(dt, dt_w.astype(dtype))
+        A = -jnp.exp(A_log.astype(jnp.float32))
+        y = selective_scan(xp, dt, A, Bm, Cm, D=None, delta_bias=dt_b,
+                           delta_softplus=True, impl=self.scan_impl)
+        if pooled:
+            y = broadcast_tokens(y, cols)
+        return (y.astype(jnp.float32)
+                + Dp.astype(jnp.float32)[None, None] * xc.astype(jnp.float32)
+                ).astype(dtype)
+
+    @nn.compact
+    def __call__(self, x: Array, token_size: Tuple[int, int]) -> Array:
+        """x: (batch, L, d_model); token_size: (rows, cols) in this mixer's
+        orientation (cols is the pooled axis)."""
+        rows, cols = token_size
+        d_inner = self.d_inner
+        dtype = self.dtype
+        x = x.astype(dtype)
+
+        xz = nn.Dense(2 * d_inner, use_bias=self.bias,
+                      kernel_init=torch_linear_init(self.d_model),
+                      dtype=dtype, name="in_proj")(x)
+        xin, z = xz[..., :d_inner], xz[..., d_inner:]
+
+        fwd = self._dir_params("")
+        bwd = self._dir_params("_b")
+
+        y_f = self._scan_branch(xin, fwd, rows, cols)
+        y_b = self._scan_branch(xin[:, ::-1], bwd, rows, cols)[:, ::-1]
+
+        merged = (y_f.astype(jnp.float32) + y_b.astype(jnp.float32)) / 2.0
+        if self.use_norm_after_ssm:
+            ln_w = self.param("layernorm_weight", nn.initializers.ones,
+                              (d_inner,))
+            ln_b = self.param("layernorm_bias", nn.initializers.zeros,
+                              (d_inner,))
+            merged = layer_norm(merged, ln_w, ln_b, eps=self.norm_eps)
+        merged = (merged * jax.nn.silu(z.astype(jnp.float32))).astype(dtype)
+
+        out = nn.Dense(
+            self.d_model, use_bias=self.bias,
+            kernel_init=torch_linear_init(
+                d_inner, scale=1.0 / math.sqrt(self.n_layer)),
+            dtype=dtype, name="out_proj")(merged)
+        if self.init_layer_scale is not None:
+            gamma = self.param(
+                "gamma",
+                nn.initializers.constant(self.init_layer_scale),
+                (self.d_model,))
+            out = out * gamma.astype(dtype)
+        return out

@@ -1,0 +1,166 @@
+"""VisionMamba trunk: patchify → pos-embed → N blocks → norm → pool → head.
+
+TPU-native re-design of the reference VisionMamba
+(models/fastvim.py:342-557) and its MM_FastVim feature-extractor mode
+(models/fastvim.py:560-691). One class serves both: pass ``out_indices``
+to get multi-scale NHWC feature maps (per-index LayerNorm applied),
+otherwise the classification path runs (final norm → pool → head).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from fastvim_tpu.models.blocks import Block
+from fastvim_tpu.models.layers import DropPath
+from fastvim_tpu.models.patch_embed import PatchEmbed, resize_pos_embed
+from fastvim_tpu.ops import add_norm, layer_norm
+
+Array = jax.Array
+
+
+def trunc_normal_init(std: float = 0.02):
+    return nn.initializers.truncated_normal(stddev=std, lower=-2.0, upper=2.0)
+
+
+class VisionMamba(nn.Module):
+    img_size: int = 224
+    patch_size: int = 16
+    depth: int = 24
+    embed_dim: int = 192
+    channels: int = 3
+    num_classes: int = 1000
+    ssm_cfg: Any = None
+    drop_rate: float = 0.0
+    drop_path_rate: float = 0.1
+    norm_epsilon: float = 1e-5
+    rms_norm: bool = True
+    residual_in_fp32: bool = True
+    fused_add_norm: bool = True  # kept for config parity; always fused here
+    final_pool_type: str = "mean"
+    if_abs_pos_embed: bool = True
+    init_layer_scale: Optional[float] = None
+    scanpath_type: str = "rowwise"
+    use_norm_after_ssm: bool = True
+    rotate_every_block: bool = True
+    collapse_method: str = "mean"
+    scaling_factor: float = 1.0
+    out_indices: Optional[Sequence[int]] = None
+    scan_impl: str = "auto"
+    dtype: Any = jnp.float32
+
+    @property
+    def grid_size(self) -> Tuple[int, int]:
+        g = self.img_size // self.patch_size
+        return (g, g)
+
+    @property
+    def num_patches(self) -> int:
+        gh, gw = self.grid_size
+        return gh * gw
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True,
+                 return_features: bool = False):
+        """x: (batch, H, W, C) NHWC images.
+
+        Returns logits (batch, num_classes); with ``return_features``,
+        pooled features; with ``out_indices`` set, a list of NHWC feature
+        maps (the MM backbone contract, models/fastvim.py:684-691).
+        """
+        B = x.shape[0]
+        tokens, (rows, cols) = PatchEmbed(
+            patch_size=self.patch_size, embed_dim=self.embed_dim,
+            scanpath_type=self.scanpath_type, dtype=self.dtype,
+            name="patch_embed")(x)
+
+        if self.if_abs_pos_embed:
+            pos = self.param("pos_embed", trunc_normal_init(0.02),
+                             (1, self.num_patches, self.embed_dim))
+            if (rows, cols) != self._train_grid():
+                pos = resize_pos_embed(pos, (rows, cols), self._train_grid(),
+                                       self.scanpath_type)
+            tokens = tokens + pos.astype(tokens.dtype)
+            if self.drop_rate > 0:
+                tokens = nn.Dropout(self.drop_rate)(
+                    tokens, deterministic=deterministic)
+
+        mixer_kwargs = dict(
+            use_norm_after_ssm=self.use_norm_after_ssm,
+            init_layer_scale=self.init_layer_scale,
+            collapse_method=self.collapse_method,
+            scaling_factor=self.scaling_factor,
+            n_layer=self.depth,
+            scan_impl=self.scan_impl,
+            **(self.ssm_cfg or {}),
+        )
+        dpr = [float(r) for r in
+               jnp.linspace(0, self.drop_path_rate, self.depth)]
+        inter_dpr = [0.0] + dpr[:-1] if self.depth > 1 else [0.0]
+
+        hidden, residual = tokens, None
+        outs = []
+        for i in range(self.depth):
+            hidden, residual = Block(
+                dim=self.embed_dim, layer_idx=i, token_size=(rows, cols),
+                mixer_kwargs=mixer_kwargs,
+                rotate_every_block=self.rotate_every_block,
+                rms_norm=self.rms_norm,
+                residual_in_fp32=self.residual_in_fp32,
+                norm_eps=self.norm_epsilon, drop_path=inter_dpr[i],
+                dtype=self.dtype, name=f"layers_{i}",
+            )(hidden, residual, deterministic)
+            if self.out_indices is not None and i in self.out_indices:
+                outs.append(hidden)
+
+        if self.out_indices is not None:
+            assert len(outs) == len(self.out_indices)
+            feats = []
+            for j, o in enumerate(outs):
+                w = self.param(f"outnorm_{j}_weight", nn.initializers.ones,
+                               (self.embed_dim,))
+                b = self.param(f"outnorm_{j}_bias", nn.initializers.zeros,
+                               (self.embed_dim,))
+                o = layer_norm(o.astype(jnp.float32), w, b)
+                feats.append(o.reshape(B, rows, cols, self.embed_dim))
+            return feats
+
+        norm_w = self.param("norm_f_weight", nn.initializers.ones,
+                            (self.embed_dim,))
+        norm_b = (None if self.rms_norm else
+                  self.param("norm_f_bias", nn.initializers.zeros,
+                             (self.embed_dim,)))
+        hidden = DropPath(self.drop_path_rate)(hidden, deterministic)
+        hidden = add_norm(hidden, norm_w, norm_b, residual=residual,
+                          prenorm=False,
+                          residual_in_fp32=self.residual_in_fp32,
+                          eps=self.norm_epsilon, rms=self.rms_norm,
+                          out_dtype=self.dtype)
+
+        if self.final_pool_type == "mean":
+            feat = hidden.mean(axis=1)
+        elif self.final_pool_type == "none":
+            feat = hidden[:, -1]
+        elif self.final_pool_type in ("max", "all"):
+            feat = hidden  # (batch, L, D); 'max' pools after the head
+        else:
+            raise NotImplementedError(self.final_pool_type)
+
+        if return_features:
+            return feat
+        if self.num_classes <= 0:
+            return feat
+        logits = nn.Dense(self.num_classes,
+                          kernel_init=trunc_normal_init(0.02),
+                          dtype=self.dtype, name="head")(feat)
+        if self.final_pool_type == "max":
+            logits = logits.max(axis=1)
+        return logits
+
+    def _train_grid(self) -> Tuple[int, int]:
+        g = self.img_size // self.patch_size
+        return (g, g)
