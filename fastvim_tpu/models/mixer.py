@@ -102,15 +102,30 @@ class MambaMixer(nn.Module):
         Dp = self.param(f"D{suffix}", nn.initializers.ones, (d_inner,))
         return conv_w, conv_b, x_proj_w, dt_w, dt_b, A_log, Dp
 
-    def _scan_branch(self, x: Array, params, rows: int, cols: int) -> Array:
+    def _scan_branch(self, x: Array, params, rows: int, cols: int,
+                     row_onehot: Optional[Array] = None) -> Array:
         """One scan direction: conv → (pool) → projections → scan →
-        (broadcast) → + D·conv_out. x: (batch, L, d_inner)."""
+        (broadcast) → + D·conv_out. x: (batch, L, d_inner).
+
+        With ``row_onehot`` (batch, L, rows) — the masked-MAE case — the
+        pool is a scatter-add into row bins divided by the *full* cols
+        (`compute_row_means_constantdivide`,
+        mamba_simple_masked_faster.py:376-416) and the broadcast is a
+        per-token gather of its row's scan output
+        (mamba_simple_masked_faster.py:261-263); both are one-hot matmuls
+        here (MXU-friendly, static shapes).
+        """
         conv_w, conv_b, x_proj_w, dt_w, dt_b, A_log, Dp = params
         dtype = self.dtype
         xc = causal_conv1d(x, conv_w.astype(dtype),
                            None if conv_b is None else conv_b.astype(dtype))
         pooled = self.collapse_method != "none"
-        if pooled:
+        if row_onehot is not None:
+            assert self.collapse_method == "mean", (
+                "masked pooling supports mean only")
+            oh = row_onehot.astype(dtype)
+            xp = jnp.einsum("blr,bld->brd", oh, xc) / cols
+        elif pooled:
             xp = pool_tokens(xc, rows, cols, self.collapse_method,
                              self.scaling_factor)
         else:
@@ -123,16 +138,27 @@ class MambaMixer(nn.Module):
         A = -jnp.exp(A_log.astype(jnp.float32))
         y = selective_scan(xp, dt, A, Bm, Cm, D=None, delta_bias=dt_b,
                            delta_softplus=True, impl=self.scan_impl)
-        if pooled:
+        if row_onehot is not None:
+            y = jnp.einsum("blr,brd->bld", row_onehot.astype(y.dtype), y)
+        elif pooled:
             y = broadcast_tokens(y, cols)
         return (y.astype(jnp.float32)
                 + Dp.astype(jnp.float32)[None, None] * xc.astype(jnp.float32)
                 ).astype(dtype)
 
     @nn.compact
-    def __call__(self, x: Array, token_size: Tuple[int, int]) -> Array:
+    def __call__(self, x: Array, token_size: Tuple[int, int],
+                 row_onehot: Optional[Array] = None) -> Array:
         """x: (batch, L, d_model); token_size: (rows, cols) in this mixer's
-        orientation (cols is the pooled axis)."""
+        orientation (cols is the pooled axis).
+
+        row_onehot (batch, L, rows): visible-token→row assignment for the
+        masked (MAE) variant. NOTE the backward direction scatters the
+        *flipped* sequence with the *unflipped* row ids — faithfully
+        mirroring mamba_simple_masked_faster.py:213-215,297-300 where
+        `compute_row_means_constantdivide(x, x_flip, ids_keep, ...)` uses
+        one ids_keep for both directions.
+        """
         rows, cols = token_size
         d_inner = self.d_inner
         dtype = self.dtype
@@ -146,8 +172,9 @@ class MambaMixer(nn.Module):
         fwd = self._dir_params("")
         bwd = self._dir_params("_b")
 
-        y_f = self._scan_branch(xin, fwd, rows, cols)
-        y_b = self._scan_branch(xin[:, ::-1], bwd, rows, cols)[:, ::-1]
+        y_f = self._scan_branch(xin, fwd, rows, cols, row_onehot)
+        y_b = self._scan_branch(xin[:, ::-1], bwd, rows, cols,
+                                row_onehot)[:, ::-1]
 
         merged = (y_f.astype(jnp.float32) + y_b.astype(jnp.float32)) / 2.0
         if self.use_norm_after_ssm:

@@ -80,3 +80,16 @@ for _size, _patch in [("tiny", 16), ("small", 16), ("base", 16),
     _fn.__name__ = _name
     register_model(_fn)
     register_alias(f"vim_{_size}", _name)
+
+
+def _register_mae():
+    # MAE (FastMaskVim) zoo — clean module path fixing the reference's
+    # broken config target (SURVEY.md §2.4 note on fastvim_mae_vimdecoder).
+    from fastvim_tpu.models.mae import MAE_MODELS
+
+    for name, fn in MAE_MODELS.items():
+        fn.__name__ = name
+        register_model(fn)
+
+
+_register_mae()
