@@ -1,10 +1,16 @@
 """FastVim residual Block: Add → Norm → (rotate) → Mixer → (unrotate).
 
-Mirrors the reference Block (models/fastvim.py:106-212): the fused
-add+norm keeps an fp32 residual stream (prenorm=True), and odd layers
-transpose the (rows, cols) token grid so pooling alternates between the
-col and row axes ("rotate_every_block", models/fastvim.py:192-211). On
-TPU the rotate is a reshape/transpose the compiler folds into layouts.
+Mirrors the reference Block (models/fastvim.py:106-212) and its channel
+variant (models_channel_mamba_faster.py:206-331): the fused add+norm keeps
+an fp32 residual stream (prenorm=True), and odd layers transpose two axes
+of the token grid so pooling alternates between the col and row axes
+("rotate_every_block"). On TPU the rotate is a reshape/transpose the
+compiler folds into layouts.
+
+The grid is generic: ``grid_shape`` may be (rows, cols) for FastVim,
+(C, rows, cols) for Spatial-First ChannelVim, or (rows, cols, C) for
+Channel-First; ``transpose_axes`` names the two grid axes swapped on odd
+layers and ``pool_axes`` the axes pooled before the scan.
 """
 
 from __future__ import annotations
@@ -22,17 +28,28 @@ from fastvim_tpu.ops import add_norm
 Array = jax.Array
 
 
-def rotate_grid(x: Array, rows: int, cols: int) -> Array:
-    """Transpose the token grid of a flattened (batch, rows*cols, d) seq."""
+def rotate_grid(x: Array, grid_shape: Tuple[int, ...],
+                axes: Tuple[int, int] = (0, 1)) -> Array:
+    """Swap two grid axes of a flattened (batch, prod(grid), d) sequence."""
     b, L, d = x.shape
-    return x.reshape(b, rows, cols, d).transpose(0, 2, 1, 3).reshape(b, L, d)
+    xg = x.reshape(b, *grid_shape, d)
+    xg = jnp.swapaxes(xg, axes[0] + 1, axes[1] + 1)
+    return xg.reshape(b, L, d)
+
+
+def _swapped(grid_shape, axes):
+    g = list(grid_shape)
+    g[axes[0]], g[axes[1]] = g[axes[1]], g[axes[0]]
+    return tuple(g)
 
 
 class Block(nn.Module):
     dim: int
     layer_idx: int
-    token_size: Tuple[int, int]
+    token_size: Tuple[int, ...]  # grid shape in base orientation
     mixer_kwargs: Any = None
+    pool_axes: Optional[Tuple[int, ...]] = None
+    transpose_axes: Tuple[int, int] = (0, 1)
     rotate_every_block: bool = True
     rms_norm: bool = True
     residual_in_fp32: bool = True
@@ -53,19 +70,19 @@ class Block(nn.Module):
             residual_in_fp32=self.residual_in_fp32, eps=self.norm_eps,
             rms=self.rms_norm, out_dtype=self.dtype)
 
-        rows, cols = self.token_size
+        grid = tuple(self.token_size)
         rotated = self.rotate_every_block and self.layer_idx % 2 != 0
         if rotated:
-            hidden = rotate_grid(hidden, rows, cols)
-            mixer_token = (cols, rows)
+            hidden = rotate_grid(hidden, grid, self.transpose_axes)
+            mixer_grid = _swapped(grid, self.transpose_axes)
         else:
-            mixer_token = (rows, cols)
+            mixer_grid = grid
 
         kwargs = dict(self.mixer_kwargs or {})
         hidden = MambaMixer(
             d_model=self.dim, dtype=self.dtype, name="mixer", **kwargs
-        )(hidden, mixer_token)
+        )(hidden, mixer_grid, pool_axes=self.pool_axes)
 
         if rotated:
-            hidden = rotate_grid(hidden, cols, rows)
+            hidden = rotate_grid(hidden, mixer_grid, self.transpose_axes)
         return hidden, residual

@@ -31,13 +31,8 @@ from fastvim_tpu.models.layers import (
     dt_proj_kernel_init,
     torch_linear_init,
 )
-from fastvim_tpu.ops import (
-    broadcast_tokens,
-    causal_conv1d,
-    layer_norm,
-    pool_tokens,
-    selective_scan,
-)
+from fastvim_tpu.ops import causal_conv1d, layer_norm, selective_scan
+from fastvim_tpu.ops.scan import _prod, broadcast_grid, pool_grid
 
 Array = jax.Array
 
@@ -102,14 +97,14 @@ class MambaMixer(nn.Module):
         Dp = self.param(f"D{suffix}", nn.initializers.ones, (d_inner,))
         return conv_w, conv_b, x_proj_w, dt_w, dt_b, A_log, Dp
 
-    def _scan_branch(self, x: Array, params, rows: int, cols: int,
+    def _scan_branch(self, x: Array, params, grid_shape, pool_axes,
                      row_onehot: Optional[Array] = None) -> Array:
         """One scan direction: conv → (pool) → projections → scan →
         (broadcast) → + D·conv_out. x: (batch, L, d_inner).
 
-        With ``row_onehot`` (batch, L, rows) — the masked-MAE case — the
-        pool is a scatter-add into row bins divided by the *full* cols
-        (`compute_row_means_constantdivide`,
+        With ``row_onehot`` (batch, L, bins) — the masked-MAE case — the
+        pool is a scatter-add into row bins divided by the *full* pooled
+        extent (`compute_row_means_constantdivide`,
         mamba_simple_masked_faster.py:376-416) and the broadcast is a
         per-token gather of its row's scan output
         (mamba_simple_masked_faster.py:261-263); both are one-hot matmuls
@@ -123,11 +118,12 @@ class MambaMixer(nn.Module):
         if row_onehot is not None:
             assert self.collapse_method == "mean", (
                 "masked pooling supports mean only")
+            divisor = _prod(grid_shape[a] for a in pool_axes)
             oh = row_onehot.astype(dtype)
-            xp = jnp.einsum("blr,bld->brd", oh, xc) / cols
+            xp = jnp.einsum("blr,bld->brd", oh, xc) / divisor
         elif pooled:
-            xp = pool_tokens(xc, rows, cols, self.collapse_method,
-                             self.scaling_factor)
+            xp = pool_grid(xc, grid_shape, pool_axes, self.collapse_method,
+                           self.scaling_factor)
         else:
             xp = xc
         # x_proj → (dt_rank | n | n); dt_proj applied to the dt slice
@@ -141,25 +137,29 @@ class MambaMixer(nn.Module):
         if row_onehot is not None:
             y = jnp.einsum("blr,brd->bld", row_onehot.astype(y.dtype), y)
         elif pooled:
-            y = broadcast_tokens(y, cols)
+            y = broadcast_grid(y, grid_shape, pool_axes)
         return (y.astype(jnp.float32)
                 + Dp.astype(jnp.float32)[None, None] * xc.astype(jnp.float32)
                 ).astype(dtype)
 
     @nn.compact
-    def __call__(self, x: Array, token_size: Tuple[int, int],
+    def __call__(self, x: Array, grid_shape: Tuple[int, ...],
+                 pool_axes: Optional[Tuple[int, ...]] = None,
                  row_onehot: Optional[Array] = None) -> Array:
-        """x: (batch, L, d_model); token_size: (rows, cols) in this mixer's
-        orientation (cols is the pooled axis).
+        """x: (batch, L, d_model); grid_shape: token grid in this mixer's
+        orientation (e.g. (rows, cols), or (rows, cols, C) for
+        Channel-First). pool_axes: grid axes pooled before the scan
+        (default: the last axis — FastVim's cols).
 
-        row_onehot (batch, L, rows): visible-token→row assignment for the
+        row_onehot (batch, L, bins): visible-token→row assignment for the
         masked (MAE) variant. NOTE the backward direction scatters the
         *flipped* sequence with the *unflipped* row ids — faithfully
         mirroring mamba_simple_masked_faster.py:213-215,297-300 where
         `compute_row_means_constantdivide(x, x_flip, ids_keep, ...)` uses
         one ids_keep for both directions.
         """
-        rows, cols = token_size
+        if pool_axes is None:
+            pool_axes = (len(grid_shape) - 1,)
         d_inner = self.d_inner
         dtype = self.dtype
         x = x.astype(dtype)
@@ -172,8 +172,8 @@ class MambaMixer(nn.Module):
         fwd = self._dir_params("")
         bwd = self._dir_params("_b")
 
-        y_f = self._scan_branch(xin, fwd, rows, cols, row_onehot)
-        y_b = self._scan_branch(xin[:, ::-1], bwd, rows, cols,
+        y_f = self._scan_branch(xin, fwd, grid_shape, pool_axes, row_onehot)
+        y_b = self._scan_branch(xin[:, ::-1], bwd, grid_shape, pool_axes,
                                 row_onehot)[:, ::-1]
 
         merged = (y_f.astype(jnp.float32) + y_b.astype(jnp.float32)) / 2.0

@@ -92,4 +92,13 @@ def _register_mae():
         register_model(fn)
 
 
+def _register_channel():
+    from fastvim_tpu.models.channel import CHANNEL_MODELS
+
+    for name, fn in CHANNEL_MODELS.items():
+        fn.__name__ = name
+        register_model(fn)
+
+
 _register_mae()
+_register_channel()

@@ -98,8 +98,10 @@ class VisionMamba(nn.Module):
             scan_impl=self.scan_impl,
             **(self.ssm_cfg or {}),
         )
+        import numpy as np
+
         dpr = [float(r) for r in
-               jnp.linspace(0, self.drop_path_rate, self.depth)]
+               np.linspace(0, self.drop_path_rate, self.depth)]
         inter_dpr = [0.0] + dpr[:-1] if self.depth > 1 else [0.0]
 
         hidden, residual = tokens, None

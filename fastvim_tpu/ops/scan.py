@@ -191,6 +191,54 @@ def selective_scan(
 # Pooled (FastVim) helpers
 # ---------------------------------------------------------------------------
 
+def _prod(xs):
+    out = 1
+    for x in xs:
+        out *= x
+    return out
+
+
+def pool_grid(
+    x: Array, grid_shape, pool_axes, method: str = "mean",
+    scaling_factor: float = 1.0,
+) -> Array:
+    """Pool a flattened token grid along ``pool_axes``.
+
+    x: (batch, prod(grid_shape), d) in raster order of ``grid_shape``.
+    Returns (batch, prod(kept dims), d). Subsumes all the reference's
+    pooling reshapes: FastVim cols-pool (mamba_simple_faster.py:287-305),
+    ChannelVim Spatial/Channel-First (mamba_simple_channel_faster.py:
+    225-256) and 2dcompress (…_2dcompress.py:222-256).
+    """
+    b, L, d = x.shape
+    assert L == _prod(grid_shape), (L, grid_shape)
+    xg = x.reshape(b, *grid_shape, d)
+    axes = tuple(a + 1 for a in pool_axes)
+    if method == "mean":
+        out = jnp.mean(xg, axis=axes)
+        if scaling_factor != 1.0:
+            out = out * scaling_factor
+    elif method == "max":
+        out = jnp.max(xg, axis=axes)
+    else:
+        raise ValueError(f"unknown collapse method {method!r}")
+    kept = _prod(s for i, s in enumerate(grid_shape) if i not in pool_axes)
+    return out.reshape(b, kept, d)
+
+
+def broadcast_grid(y: Array, grid_shape, pool_axes) -> Array:
+    """Inverse of pool_grid: broadcast pooled outputs back over the pooled
+    grid axes (the reference's repeat_interleave/repeat broadcasts)."""
+    b, Lc, d = y.shape
+    kept_shape = [s for i, s in enumerate(grid_shape) if i not in pool_axes]
+    assert Lc == _prod(kept_shape), (Lc, grid_shape, pool_axes)
+    yg = y.reshape(b, *kept_shape, d)
+    for a in sorted(pool_axes):
+        yg = jnp.expand_dims(yg, a + 1)
+    yg = jnp.broadcast_to(yg, (b, *grid_shape, d))
+    return yg.reshape(b, _prod(grid_shape), d)
+
+
 def pool_tokens(
     x: Array, rows: int, cols: int, method: str = "mean",
     scaling_factor: float = 1.0,

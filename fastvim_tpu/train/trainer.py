@@ -1,0 +1,144 @@
+"""Task train/eval steps: supervised classification, MAE pretraining,
+linear probe — all as jitted pure functions over a device mesh.
+
+TPU-native port of the reference Lightning modules
+(`imagenet_classification/supervised_imagenet.py`, `mae/mae_imagenet.py`,
+`mae/finetune_imagenet.py`, `mae/linear_imagenet.py`,
+`cell_imaging/supervised.py`): mixup/EMA/schedules/metrics live inside one
+jit-compiled step; gradients all-reduce implicitly through sharded-batch
+SPMD (replacing Lightning DDP); metrics are computed on the global batch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fastvim_tpu.train.mixup import (
+    accuracy,
+    cross_entropy,
+    mixup_cutmix,
+    soft_target_cross_entropy,
+)
+from fastvim_tpu.train.state import TrainState
+
+Array = jax.Array
+
+
+def make_supervised_train_step(
+    model,
+    num_classes: int,
+    mixup_config: Optional[Dict[str, Any]] = None,
+    label_smoothing: float = 0.1,
+    ema_decay: Optional[float] = 0.9999,
+    channel_model: bool = False,
+) -> Callable:
+    """Returns train_step(state, batch, rng) -> (state, metrics).
+
+    batch: {"image": (B,H,W,C), "label": (B,)} (+ "channel_ids" for
+    ChannelVim). Mirrors SupervisedModule.training_step
+    (supervised_imagenet.py:128-151): mixup → forward → soft-target CE
+    (or smoothed CE without mixup) → update → EMA.
+    """
+
+    def loss_fn(params, images, targets, rng):
+        kwargs = {}
+        if channel_model and "channel_ids" in targets:
+            kwargs["channel_ids"] = targets["channel_ids"]
+        logits = model.apply(params, images, deterministic=False,
+                             rngs={"dropout": rng}, **kwargs)
+        loss = soft_target_cross_entropy(logits, targets["soft"])
+        return loss, logits
+
+    @jax.jit
+    def train_step(state: TrainState, batch, rng):
+        rng_mix, rng_drop = jax.random.split(jax.random.fold_in(
+            rng, state.step))
+        images, labels = batch["image"], batch["label"]
+        if mixup_config:
+            images, soft = mixup_cutmix(
+                rng_mix, images, labels, num_classes,
+                smoothing=label_smoothing, **mixup_config)
+        else:
+            from fastvim_tpu.train.mixup import one_hot_smooth
+
+            soft = one_hot_smooth(labels, num_classes, label_smoothing)
+        targets = {"soft": soft}
+        if "channel_ids" in batch:
+            targets["channel_ids"] = batch["channel_ids"]
+        (loss, logits), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, images, targets, rng_drop)
+        state = state.apply_gradients(grads, ema_decay=ema_decay)
+        metrics = {"train_loss": loss,
+                   "grad_norm": optax_global_norm(grads)}
+        return state, metrics
+
+    return train_step
+
+
+def optax_global_norm(tree) -> Array:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(l.astype(jnp.float32)))
+                        for l in leaves))
+
+
+def make_supervised_eval_step(model, channel_model: bool = False):
+    """eval_step(params, batch) -> metrics (loss, top-1). Used for both raw
+    and EMA params (the reference logs val_acc and val_acc_ema,
+    supervised_imagenet.py:160-210)."""
+
+    @jax.jit
+    def eval_step(params, batch):
+        kwargs = {}
+        if channel_model and "channel_ids" in batch:
+            kwargs["channel_ids"] = batch["channel_ids"]
+        logits = model.apply(params, batch["image"], deterministic=True,
+                             **kwargs)
+        loss = cross_entropy(logits, batch["label"])
+        acc = accuracy(logits, batch["label"])
+        return {"loss": loss, "acc": acc}
+
+    return eval_step
+
+
+def make_mae_train_step(model, mask_ratio: float = 0.75,
+                        ema_decay: Optional[float] = None) -> Callable:
+    """MAE pretraining step (SSLModule.training_step,
+    mae/mae_imagenet.py:60-98)."""
+
+    def loss_fn(params, images, rng):
+        loss, _, _ = model.apply(params, images, mask_ratio=mask_ratio,
+                                 deterministic=False, rngs={"mask": rng})
+        return loss
+
+    @jax.jit
+    def train_step(state: TrainState, batch, rng):
+        rng_mask = jax.random.fold_in(rng, state.step)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, batch["image"], rng_mask)
+        state = state.apply_gradients(grads, ema_decay=ema_decay)
+        return state, {"train_loss": loss}
+
+    return train_step
+
+
+def make_linear_probe_step(model, head_apply, num_classes: int):
+    """Linear probe: frozen backbone features → BN(affine=False)+Linear
+    (mae/linear_imagenet.py:39-53). Backbone runs under stop_gradient."""
+
+    def loss_fn(head_params, feats, labels):
+        logits = head_apply(head_params, feats)
+        return cross_entropy(logits, labels), logits
+
+    @jax.jit
+    def step(state: TrainState, feats, labels):
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, feats, labels)
+        state = state.apply_gradients(grads)
+        return state, {"train_loss": loss,
+                       "train_acc": accuracy(logits, labels)}
+
+    return step

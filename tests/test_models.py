@@ -32,9 +32,14 @@ def test_forward_shapes_and_determinism():
 
 def test_rotate_grid_roundtrip():
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 12, 5))
-    r = rotate_grid(x, 3, 4)
-    back = rotate_grid(r, 4, 3)
+    r = rotate_grid(x, (3, 4))
+    back = rotate_grid(r, (4, 3))
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+    # 3D grid, swap middle/last axes
+    x3 = jax.random.normal(jax.random.PRNGKey(1), (2, 24, 5))
+    r3 = rotate_grid(x3, (2, 3, 4), axes=(1, 2))
+    back3 = rotate_grid(r3, (2, 4, 3), axes=(1, 2))
+    np.testing.assert_array_equal(np.asarray(back3), np.asarray(x3))
 
 
 def test_pooled_vs_full_scan_cols1():

@@ -1,0 +1,194 @@
+"""Training harness tests: schedules vs the reference array semantics,
+wd masks, layer decay, EMA, mixup, and end-to-end loss decrease on a tiny
+model, plus a sharded multi-device data-parallel step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastvim_tpu.models import VisionMamba
+from fastvim_tpu.parallel import make_mesh, shard_batch
+from fastvim_tpu.train import (
+    TrainState,
+    cosine_with_warmup,
+    ema_update,
+    layer_decay_scales,
+    make_mae_train_step,
+    make_optimizer,
+    make_supervised_eval_step,
+    make_supervised_train_step,
+    mixup_cutmix,
+    scale_lr,
+    soft_target_cross_entropy,
+    wd_mask,
+)
+
+
+def reference_cosine_array(base, final, total, warmup, winit=0.0):
+    """numpy port of cosine_scheduler (utils.py:142-184)."""
+    warm = (np.linspace(winit, base, warmup) if warmup > 0
+            else np.array([]))
+    iters = np.arange(total - warmup)
+    sched = final + 0.5 * (base - final) * (
+        1 + np.cos(np.pi * iters / len(iters)))
+    return np.concatenate([warm, sched])
+
+
+def test_cosine_schedule_matches_reference_array():
+    base, final, total, warmup = 1e-3, 1e-6, 100, 10
+    ref = reference_cosine_array(base, final, total, warmup)
+    fn = cosine_with_warmup(base, final, total, warmup)
+    got = np.array([float(fn(s)) for s in range(total)])
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-9)
+
+
+def test_scale_lr_rules():
+    assert scale_lr(1e-3, 128, 4, "deit") == pytest.approx(1e-3 * 512 / 512)
+    assert scale_lr(1e-3, 128, 8, "linear") == pytest.approx(1e-3 * 4)
+    assert scale_lr(1e-3, 256, 4, "sqrt") == pytest.approx(1e-3)
+
+
+def test_wd_mask_excludes_ssm_params():
+    params = {"params": {
+        "layers_0": {"mixer": {
+            "A_log": jnp.zeros((4, 2)),
+            "D": jnp.zeros((4,)),
+            "in_proj": {"kernel": jnp.zeros((4, 8))},
+            "dt_proj_bias": jnp.zeros((4,)),
+        }},
+        "pos_embed": jnp.zeros((1, 4, 8)),
+        "head": {"kernel": jnp.zeros((8, 10)), "bias": jnp.zeros((10,))},
+    }}
+    m = wd_mask(params)
+    p = m["params"]
+    assert p["head"]["kernel"] is True
+    assert p["head"]["bias"] is False          # 1-D
+    assert p["pos_embed"] is False             # named no-decay
+    assert p["layers_0"]["mixer"]["A_log"] is False
+    assert p["layers_0"]["mixer"]["in_proj"]["kernel"] is True
+
+
+def test_layer_decay_alternate_pairs():
+    """Adjacent Mamba layer pairs share a decay power (lr_decay.py:17-26)."""
+    depth = 4
+    params = {"params": {
+        "patch_embed": {"k": jnp.zeros((2, 2))},
+        **{f"layers_{i}": {"w": jnp.zeros((2, 2))} for i in range(depth)},
+        "head": {"k": jnp.zeros((2, 2))},
+    }}
+    scales = layer_decay_scales(params, 0.5, depth)
+    s = scales["params"]
+    num_layers = depth + 1
+    def expected(k):
+        n = num_layers - k
+        return 0.5 ** (n // 2 + n % 2)
+    assert s["patch_embed"]["k"] == pytest.approx(expected(0))
+    for i in range(depth):
+        assert s[f"layers_{i}"]["w"] == pytest.approx(expected(i + 1))
+    assert s["head"]["k"] == pytest.approx(expected(num_layers))
+    # pairing: layer ids (1,2) share a power, (3,4) share the next
+    assert s["layers_0"]["w"] == s["layers_1"]["w"]
+    assert s["layers_2"]["w"] == s["layers_3"]["w"]
+    assert s["layers_0"]["w"] < s["layers_2"]["w"]
+
+
+def test_ema_update():
+    ema = {"w": jnp.ones((2,))}
+    params = {"w": jnp.zeros((2,))}
+    out = ema_update(ema, params, 0.9)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.9)
+
+
+def test_mixup_targets_sum_to_one():
+    rng = jax.random.PRNGKey(0)
+    images = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 3))
+    labels = jnp.array([0, 1, 2, 3])
+    mixed, soft = mixup_cutmix(rng, images, labels, 10, smoothing=0.1)
+    assert mixed.shape == images.shape
+    np.testing.assert_allclose(np.asarray(soft.sum(-1)), 1.0, rtol=1e-5)
+
+
+def tiny_model():
+    return VisionMamba(img_size=16, patch_size=8, depth=2, embed_dim=32,
+                       num_classes=5, drop_path_rate=0.0,
+                       ssm_cfg=dict(d_state=4))
+
+
+def test_supervised_training_loss_decreases():
+    model = tiny_model()
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 16, 3))
+    y = jnp.arange(8) % 5
+    params = model.init(jax.random.PRNGKey(2), x)
+    tx = make_optimizer(cosine_with_warmup(1e-3, 1e-5, 50, 5),
+                        weight_decay=0.05, params=params)
+    state = TrainState.create(params, tx, ema=True)
+    step = make_supervised_train_step(model, 5, mixup_config=None,
+                                      label_smoothing=0.0, ema_decay=0.99)
+    batch = {"image": x, "label": y}
+    losses = []
+    for i in range(30):
+        state, metrics = step(state, batch, rng)
+        losses.append(float(metrics["train_loss"]))
+    assert losses[-1] < losses[0] * 0.7, losses[:3] + losses[-3:]
+    # EMA params differ from raw but track them
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        state.ema_params, state.params)
+    assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+
+def test_eval_step():
+    model = tiny_model()
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 16, 3))
+    y = jnp.zeros((4,), jnp.int32)
+    params = model.init(jax.random.PRNGKey(2), x)
+    eval_step = make_supervised_eval_step(model)
+    m = eval_step(params, {"image": x, "label": y})
+    assert 0.0 <= float(m["acc"]) <= 1.0
+
+
+def test_data_parallel_step_on_mesh():
+    """Sharded-batch SPMD: one jit step with the batch sharded over an
+    8-device data mesh (replaces Lightning DDP, SURVEY.md §2.6)."""
+    assert jax.device_count() >= 8
+    mesh = make_mesh(data=8, seq=1)
+    model = tiny_model()
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 16, 16, 3))
+    y = jnp.arange(16) % 5
+    params = model.init(jax.random.PRNGKey(2), x)
+    tx = make_optimizer(cosine_with_warmup(1e-3, 1e-5, 10, 2),
+                        weight_decay=0.05, params=params)
+    state = TrainState.create(params, tx, ema=False)
+    step = make_supervised_train_step(model, 5, mixup_config=None,
+                                      ema_decay=None)
+    batch = shard_batch({"image": x, "label": y}, mesh)
+    state2, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["train_loss"]))
+    # params remain replicated and identical to an unsharded step
+    state3, metrics3 = step(state, {"image": x, "label": y},
+                            jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(metrics["train_loss"]),
+                               float(metrics3["train_loss"]), rtol=1e-4)
+
+
+def test_mae_training_step():
+    from fastvim_tpu.models.mae import MaskedAutoencoderVim
+
+    model = MaskedAutoencoderVim(img_size=16, patch_size=8, depth=2,
+                                 embed_dim=32, decoder_embed_dim=16,
+                                 decoder_depth=1, ssm_cfg=dict(d_state=4))
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 16, 3))
+    params = model.init({"params": jax.random.PRNGKey(1),
+                         "mask": jax.random.PRNGKey(2)}, x)
+    tx = make_optimizer(cosine_with_warmup(1e-3, 0.0, 20, 2),
+                        weight_decay=0.05, params=params,
+                        betas=(0.9, 0.95))
+    state = TrainState.create(params, tx)
+    step = make_mae_train_step(model, mask_ratio=0.75)
+    losses = []
+    for i in range(10):
+        state, m = step(state, {"image": x}, jax.random.PRNGKey(3))
+        losses.append(float(m["train_loss"]))
+    assert losses[-1] < losses[0]
