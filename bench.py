@@ -1,0 +1,95 @@
+"""Benchmark: FastVim-T inference throughput on one TPU chip.
+
+Primary metric: images/sec at 2048×2048 (the reference's headline setting,
+README.md:15 — FastVim is "up to 72.5% faster than Vim" there, i.e. a
+1.725× ratio on A100 CUDA kernels). ``vs_baseline`` reports our measured
+FastVim/Vim speedup ratio at 2048px divided by that 1.725× reference
+ratio — >1.0 means the TPU port beats the reference's headline speedup.
+
+Timing methodology: the forward pass is looped ON DEVICE inside one jit
+(each iteration data-depends on the last, so XLA cannot hoist or dedupe),
+and two loop lengths are differenced to cancel the host↔device round-trip
+(which dominates through remote-execution relays and makes naive
+block_until_ready timing meaningless).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def make_looped(model, params, x, n):
+    @jax.jit
+    def run(params, x):
+        def body(i, s):
+            out = model.apply(params, x + s)
+            return jnp.sum(out.astype(jnp.float32)) * 1e-30
+
+        return lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    return lambda: float(run(params, x))
+
+
+def time_fn(fn, reps=3):
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def throughput(model_name, img_size, batch, n1=4, n2=12,
+               dtype=jnp.bfloat16, **kw):
+    from fastvim_tpu.models import create_model
+
+    model = create_model(model_name, img_size=img_size, dtype=dtype,
+                         drop_path_rate=0.0, **kw)
+    x = jax.random.normal(jax.random.PRNGKey(1),
+                          (batch, img_size, img_size, 3), dtype)
+    params = model.init(jax.random.PRNGKey(0), x)
+    f1 = make_looped(model, params, x, n1)
+    f2 = make_looped(model, params, x, n2)
+    f1()  # compile
+    f2()
+    dt = (time_fn(f2) - time_fn(f1)) / (n2 - n1)
+    return batch / dt
+
+
+def main():
+    results = {}
+    b224, b2048 = 64, 4
+    results["fastvim_t_224_img_s"] = throughput("fastvim_tiny", 224, b224)
+    results["fastvim_t_2048_img_s"] = throughput("fastvim_tiny", 2048, b2048)
+    try:
+        results["vim_t_2048_img_s"] = throughput("vim_tiny", 2048, b2048)
+    except Exception as e:  # Vim baseline OOM/compile failure shouldn't kill
+        results["vim_t_2048_img_s"] = None
+        results["vim_error"] = str(e)[:200]
+
+    value = results["fastvim_t_2048_img_s"]
+    if results.get("vim_t_2048_img_s"):
+        ratio = value / results["vim_t_2048_img_s"]
+        vs_baseline = ratio / 1.725  # reference headline speedup, README.md:15
+        results["speedup_vs_vim_2048"] = round(ratio, 4)
+    else:
+        vs_baseline = None
+
+    print(json.dumps({
+        "metric": "fastvim_tiny_2048px_images_per_sec_per_chip",
+        "value": round(value, 3),
+        "unit": "images/sec",
+        "vs_baseline": round(vs_baseline, 4) if vs_baseline else None,
+        **{k: (round(v, 3) if isinstance(v, float) else v)
+           for k, v in results.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()

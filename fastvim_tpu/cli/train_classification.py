@@ -1,0 +1,96 @@
+"""Supervised ImageNet-1k classification training.
+
+Entry point mirroring `imagenet_classification/train.py`:
+  python -m fastvim_tpu.cli.train_classification --config_name FastVimT \
+      --model_save_dir out/ [--data_dir /imagenet] [key=value ...]
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from fastvim_tpu.cli.common import (
+    base_parser,
+    load_cli_config,
+    setup_mesh,
+    world_size,
+)
+
+
+def main(argv=None):
+    args = base_parser(__doc__).parse_args(argv)
+    cfg = load_cli_config(args, "classification")
+
+    from fastvim_tpu.data import create_imagenet_loader
+    from fastvim_tpu.models import create_model
+    from fastvim_tpu.train import (
+        TrainState,
+        cosine_with_warmup,
+        make_optimizer,
+        make_supervised_eval_step,
+        make_supervised_train_step,
+        scale_lr,
+    )
+    from fastvim_tpu.train.loop import run_training
+
+    mesh, shard_fn = setup_mesh()
+    model = create_model(
+        cfg["model"], img_size=cfg["img_size"],
+        num_classes=cfg["num_classes"],
+        drop_path_rate=cfg["drop_path_rate"],
+        scanpath_type=cfg.get("scanpath_type", "rowwise"),
+        rotate_every_block=cfg.get("rotate_every_block", True),
+        collapse_method=cfg.get("collapse_method", "mean"),
+        use_norm_after_ssm=cfg.get("use_norm_after_ssm", True))
+
+    train_loader = create_imagenet_loader(
+        cfg["data"].get("dir"), "train", cfg["batch_size"],
+        cfg["img_size"], training=True,
+        num_workers=cfg.get("num_workers", 4), seed=cfg["seed"],
+        synthetic_samples=args.synthetic_samples)
+    val_loader = create_imagenet_loader(
+        cfg["data"].get("dir"), "val", cfg["batch_size"], cfg["img_size"],
+        training=False, synthetic_samples=args.synthetic_samples)
+
+    steps_per_epoch = max(len(train_loader), 1)
+    base_lr = scale_lr(cfg["lr"], cfg["batch_size"], world_size(),
+                       cfg.get("scaling_rule", "deit"))
+    lr_schedule = cosine_with_warmup(
+        base_lr, cfg["min_lr"],
+        cfg["training_epochs"] * steps_per_epoch,
+        cfg["warmup_epochs"] * steps_per_epoch,
+        cfg.get("warmup_initial_lr", 0.0))
+
+    rng = jax.random.PRNGKey(cfg["seed"])
+    x0 = jnp.zeros((2, cfg["img_size"], cfg["img_size"],
+                    cfg.get("channels", 3)))
+    params = model.init(jax.random.PRNGKey(cfg["seed"] + 1), x0)
+    tx = make_optimizer(lr_schedule, weight_decay=cfg["weight_decay"],
+                        params=params)
+    state = TrainState.create(params, tx,
+                              ema=cfg.get("use_ema_weights", True))
+
+    mixup_cfg = None
+    if cfg.get("mixup", 0) or cfg.get("cutmix", 0):
+        mixup_cfg = dict(mixup_alpha=cfg.get("mixup", 0.8),
+                         cutmix_alpha=cfg.get("cutmix", 1.0),
+                         prob=cfg.get("mixup_prob", 1.0),
+                         switch_prob=cfg.get("mixup_switch_prob", 0.5))
+    train_step = make_supervised_train_step(
+        model, cfg["num_classes"], mixup_config=mixup_cfg,
+        label_smoothing=cfg.get("label_smoothing", 0.1),
+        ema_decay=cfg.get("ema_decay", 0.9999)
+        if cfg.get("use_ema_weights", True) else None)
+    eval_step = make_supervised_eval_step(model)
+
+    state = run_training(
+        state=state, train_step=train_step, train_loader=train_loader,
+        epochs=cfg["training_epochs"], rng=rng, eval_step=eval_step,
+        eval_loader=val_loader, save_dir=args.model_save_dir,
+        resume=args.resume, shard_fn=shard_fn)
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -255,8 +255,14 @@ CHANNEL_MODELS = {
     "fastchannelvim_small_ps8": _channel_factory(384, 24, 8),
     "fastchannelvim_small_ps16_maxpool": _channel_factory(
         384, 24, 16, collapse="max"),
+    "fastchannelvim_small_ps8_maxpool": _channel_factory(
+        384, 24, 8, collapse="max"),
     "fastchannelvim_small_ps16_2dcompress": _channel_factory(
         384, 24, 16, compress_2d=True),
+    "fastchannelvim_small_ps8_2dcompress": _channel_factory(
+        384, 24, 8, compress_2d=True),
     "channelvim_small_ps16_baseline": _channel_factory(
         384, 24, 16, collapse="none"),
+    "channelvim_small_ps8_baseline": _channel_factory(
+        384, 24, 8, collapse="none"),
 }

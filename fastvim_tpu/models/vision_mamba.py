@@ -104,7 +104,9 @@ class VisionMamba(nn.Module):
                np.linspace(0, self.drop_path_rate, self.depth)]
         inter_dpr = [0.0] + dpr[:-1] if self.depth > 1 else [0.0]
 
-        hidden, residual = tokens, None
+        from fastvim_tpu.parallel.mesh import maybe_shard_tokens
+
+        hidden, residual = maybe_shard_tokens(tokens), None
         outs = []
         for i in range(self.depth):
             hidden, residual = Block(

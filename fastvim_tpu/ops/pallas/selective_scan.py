@@ -75,7 +75,10 @@ def _scan_kernel(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
 
     # Apply the carried prefix state from previous chunks.
     h = b + a * state_ref[...][None, :, :]                  # (BL, N, BD)
-    state_ref[...] = h[-1]
+    # static slice (negative jnp indexing lowers to dynamic_slice, which
+    # Mosaic does not support)
+    state_ref[...] = jax.lax.slice_in_dim(
+        h, block_l - 1, block_l, axis=0)[0]
 
     y = jnp.sum(h * Cm[:, :, None], axis=1)                 # (BL, BD)
     y = y + D_ref[0][None, :] * u

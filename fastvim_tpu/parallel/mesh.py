@@ -56,8 +56,38 @@ def replicate(tree, mesh: Optional[Mesh] = None):
 
 
 def shard_batch(batch, mesh: Optional[Mesh] = None):
-    """Shard the leading (batch) axis of every leaf over the data axis."""
+    """Shard the leading (batch) axis over the data axis.
+
+    Leaves whose leading dim is not divisible by the data-axis size (e.g.
+    per-batch channel-id vectors) are replicated instead.
+    """
     mesh = mesh or get_mesh()
-    sharding = NamedSharding(mesh, P("data"))
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch)
+    ndata = mesh.shape["data"]
+    data_sharding = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    def place(x):
+        x = np.asarray(x) if not hasattr(x, "shape") else x
+        if x.ndim >= 1 and x.shape[0] % ndata == 0 and x.shape[0] >= ndata:
+            return jax.device_put(x, data_sharding)
+        return jax.device_put(x, repl)
+
+    return jax.tree_util.tree_map(place, batch)
+
+
+def maybe_shard_tokens(x):
+    """Constrain a (batch, L, d) activation to P("data", "seq", None).
+
+    Sequence-parallel annotation for high-res token grids: when the cached
+    mesh has a non-trivial ``seq`` axis, tokens are sharded along L and XLA
+    inserts the halo/collective traffic (e.g. for the causal conv across
+    shard boundaries) over ICI. No-op without a mesh or with seq=1.
+    """
+    if _MESH is None or "seq" not in _MESH.axis_names:
+        return x
+    if _MESH.shape["seq"] <= 1:
+        return x
+    if x.ndim != 3 or x.shape[1] % _MESH.shape["seq"] != 0:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(_MESH, P("data", "seq", None)))

@@ -1,0 +1,126 @@
+"""Generic epoch training loop: steps/sec metrics, periodic eval (raw +
+EMA), CSV logging, orbax checkpoint/resume, optional profiling.
+
+Replaces the Lightning Trainer wiring (`imagenet_classification/train.py:
+24-43`): val loss/acc (+ EMA variants) per epoch, checkpoint every
+``ckpt_every`` epochs, crash-resume from the latest checkpoint, and
+first-class throughput instrumentation (the reference has none,
+SURVEY.md §5 tracing note).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from fastvim_tpu.train.checkpoint import (
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+
+class CSVLogger:
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self._fieldnames = None
+
+    def log(self, row: Dict[str, Any]):
+        row = {k: (float(v) if hasattr(v, "item") else v)
+               for k, v in row.items()}
+        write_header = self._fieldnames is None
+        if write_header:
+            self._fieldnames = list(row)
+        with open(self.path, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=self._fieldnames,
+                               extrasaction="ignore")
+            if write_header and f.tell() == 0:
+                w.writeheader()
+            w.writerow(row)
+
+
+def run_training(
+    *,
+    state,
+    train_step: Callable,
+    train_loader: Iterable,
+    epochs: int,
+    rng,
+    eval_step: Optional[Callable] = None,
+    eval_loader: Optional[Iterable] = None,
+    save_dir: Optional[str] = None,
+    ckpt_every: int = 1,
+    log_every: int = 50,
+    resume: bool = False,
+    shard_fn: Optional[Callable] = None,
+    profile_dir: Optional[str] = None,
+):
+    """Returns the final state. Minimal, dependency-free epoch loop."""
+    logger = (CSVLogger(os.path.join(save_dir, "log.csv"))
+              if save_dir else None)
+    start_epoch = 0
+    if resume and save_dir:
+        path = latest_checkpoint(os.path.join(save_dir, "ckpt"))
+        if path:
+            restored = restore_checkpoint(path, template={
+                "params": state.params,
+                "opt_state": state.opt_state,
+                "step": np.asarray(0),
+                **({"ema_params": state.ema_params}
+                   if state.ema_params is not None else {}),
+            })
+            state = state.replace(
+                params=restored["params"], opt_state=restored["opt_state"],
+                step=jax.numpy.asarray(int(restored["step"])),
+                ema_params=restored.get("ema_params", state.ema_params))
+            steps_per_epoch = max(len(train_loader), 1)
+            start_epoch = int(restored["step"]) // steps_per_epoch
+            print(f"resumed from {path} at epoch {start_epoch}")
+
+    for epoch in range(start_epoch, epochs):
+        t_epoch = time.perf_counter()
+        n_steps = 0
+        last_metrics = {}
+        if profile_dir and epoch == start_epoch:
+            jax.profiler.start_trace(profile_dir)
+        for batch in train_loader:
+            if shard_fn is not None:
+                batch = shard_fn(batch)
+            state, metrics = train_step(state, batch, rng)
+            n_steps += 1
+            if n_steps % log_every == 0:
+                last_metrics = {k: float(v) for k, v in metrics.items()}
+        if profile_dir and epoch == start_epoch:
+            jax.profiler.stop_trace()
+        dt = time.perf_counter() - t_epoch
+        row = {"epoch": epoch, "steps": n_steps,
+               "steps_per_sec": n_steps / dt if dt > 0 else 0.0,
+               **last_metrics}
+
+        if eval_step is not None and eval_loader is not None:
+            aggs: Dict[str, list] = {}
+            for batch in eval_loader:
+                if shard_fn is not None:
+                    batch = shard_fn(batch)
+                m = eval_step(state.params, batch)
+                for k, v in m.items():
+                    aggs.setdefault(f"val_{k}", []).append(float(v))
+                if state.ema_params is not None:
+                    me = eval_step(state.ema_params, batch)
+                    for k, v in me.items():
+                        aggs.setdefault(f"val_{k}_ema", []).append(float(v))
+            row.update({k: float(np.mean(v)) for k, v in aggs.items()})
+
+        print({k: (round(v, 5) if isinstance(v, float) else v)
+               for k, v in row.items()})
+        if logger:
+            logger.log(row)
+        if save_dir and (epoch + 1) % ckpt_every == 0:
+            save_checkpoint(os.path.join(save_dir, "ckpt"), state)
+    return state

@@ -1,0 +1,131 @@
+"""End-to-end CLI smoke tests: each entry point runs 1-2 epochs on tiny
+synthetic data (the reference has no such coverage — SURVEY.md §4)."""
+
+import os
+
+import pytest
+
+TINY = [
+    "img_size=16", "patch_size=8", "batch_size=4",
+    "training_epochs=1", "warmup_epochs=0", "num_workers=1",
+]
+
+
+def test_config_loader_interpolation():
+    from fastvim_tpu.config import load_config
+
+    cfg = load_config("FastVimT", domain="classification",
+                      overrides=["batch_size=8", "lr=0.01"])
+    assert cfg["batch_size"] == 8
+    assert cfg["lr"] == 0.01
+    assert cfg["data"]["img_size"] == cfg["img_size"]
+
+
+def test_cli_train_classification(tmp_path):
+    from fastvim_tpu.cli.train_classification import main
+
+    state = main([
+        "--config_name", "FastVimT", "--model_save_dir", str(tmp_path),
+        "--synthetic_samples", "8",
+        *TINY,
+        "model=fastvim_tiny",
+        # shrink the model itself via overrides on the registry factory?
+        # registry models are full-size; use a direct tiny model instead
+    ] + ["num_classes=5"]) if False else None
+    # full fastvim_tiny is too slow for CPU CI; exercise the wiring with a
+    # handcrafted tiny config instead
+    import yaml
+
+    cfg = {
+        "task": "classification", "seed": 0, "model": "fastvim_tiny",
+        "num_classes": 5, "img_size": 16, "patch_size": 8, "channels": 3,
+        "drop_path_rate": 0.0, "batch_size": 4, "num_workers": 1,
+        "training_epochs": 1, "warmup_epochs": 0, "lr": 1e-3,
+        "warmup_initial_lr": 0.0, "min_lr": 1e-5, "scaling_rule": "none",
+        "weight_decay": 0.05, "use_ema_weights": True, "ema_decay": 0.99,
+        "label_smoothing": 0.1, "mixup": 0.8, "cutmix": 1.0,
+        "data": {"dir": None, "img_size": 16},
+    }
+    cfg_path = tmp_path / "tiny.yaml"
+    cfg_path.write_text(yaml.dump(cfg))
+    from fastvim_tpu.cli.train_classification import main as train_main
+
+    state = train_main([
+        "--config_name", str(cfg_path), "--model_save_dir",
+        str(tmp_path / "out"), "--synthetic_samples", "8",
+    ])
+    assert int(state.step) >= 1
+    assert os.path.exists(tmp_path / "out" / "log.csv")
+
+
+@pytest.fixture
+def tiny_model_patch(monkeypatch):
+    """Shrink registry models so CLI smoke tests run fast on CPU."""
+    from fastvim_tpu.models import registry as reg
+
+    def tiny_factory(**kw):
+        from fastvim_tpu.models.vision_mamba import VisionMamba
+
+        kw.setdefault("ssm_cfg", {"d_state": 4})
+        kw.update(depth=2, embed_dim=32)
+        kw.setdefault("img_size", 16)
+        kw.setdefault("patch_size", 8)
+        return VisionMamba(**{k: v for k, v in kw.items()
+                              if k in VisionMamba.__dataclass_fields__})
+
+    def tiny_mae_factory(**kw):
+        from fastvim_tpu.models.mae import MaskedAutoencoderVim
+
+        kw.setdefault("ssm_cfg", {"d_state": 4})
+        kw.update(depth=2, embed_dim=32, decoder_embed_dim=16,
+                  decoder_depth=1)
+        kw.setdefault("img_size", 16)
+        kw.setdefault("patch_size", 8)
+        return MaskedAutoencoderVim(
+            **{k: v for k, v in kw.items()
+               if k in MaskedAutoencoderVim.__dataclass_fields__})
+
+    def tiny_channel_factory(**kw):
+        from fastvim_tpu.models.channel import ChannelVisionMamba
+
+        kw.setdefault("ssm_cfg", {"d_state": 4})
+        kw.update(depth=2, embed_dim=32)
+        kw.setdefault("img_size", 16)
+        kw.setdefault("patch_size", 8)
+        return ChannelVisionMamba(
+            **{k: v for k, v in kw.items()
+               if k in ChannelVisionMamba.__dataclass_fields__})
+
+    for name in list(reg._REGISTRY):
+        if "mae" in name:
+            monkeypatch.setitem(reg._REGISTRY, name, tiny_mae_factory)
+        elif "channel" in name.lower():
+            monkeypatch.setitem(reg._REGISTRY, name, tiny_channel_factory)
+        else:
+            monkeypatch.setitem(reg._REGISTRY, name, tiny_factory)
+    yield
+
+
+def test_cli_pretrain_mae(tmp_path, tiny_model_patch):
+    from fastvim_tpu.cli.pretrain_mae import main
+
+    state = main([
+        "--config_name", "pretrain_FastVimT",
+        "--model_save_dir", str(tmp_path / "out"),
+        "--synthetic_samples", "8",
+        *TINY,
+    ])
+    assert int(state.step) >= 1
+
+
+def test_cli_train_cells(tmp_path, tiny_model_patch):
+    from fastvim_tpu.cli.train_cells import main
+
+    state = main([
+        "--config_name", "FastChannelVimS",
+        "--model_save_dir", str(tmp_path / "out"),
+        "--synthetic_samples", "8",
+        *TINY, "channels=3",
+        "data.normalization_mean=null", "data.normalization_std=null",
+    ])
+    assert int(state.step) >= 1
