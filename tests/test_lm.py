@@ -1,0 +1,53 @@
+"""LM head model + incremental generation tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastvim_tpu.models.lm import MambaLMHeadModel, generate
+
+
+def tiny_lm():
+    return MambaLMHeadModel(vocab_size=64, d_model=32, n_layer=2, d_state=4)
+
+
+def test_lm_forward():
+    model = tiny_lm()
+    toks = jnp.array([[1, 2, 3, 4, 5]], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), toks)
+    logits = model.apply(params, toks)
+    assert logits.shape == (1, 5, model.padded_vocab)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_incremental_decode_matches_full_forward():
+    """Replaying tokens one-by-one through the cached step reproduces the
+    full-sequence logits (the N7/state-update correctness property)."""
+    model = tiny_lm()
+    toks = jnp.array([[3, 7, 11, 2, 9, 4]], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), toks)
+    full = model.apply(params, toks)
+
+    from fastvim_tpu.models.lm import MambaLM
+
+    caches = [MambaLM(d_model=32, d_state=4, n_layer=2).init_cache(1)
+              for _ in range(2)]
+    outs = []
+    for t in range(toks.shape[1]):
+        logits, caches = model.apply(params, toks[:, t : t + 1],
+                                     caches=caches)
+        outs.append(logits[:, 0])
+    inc = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(inc), np.asarray(full),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_generate_shapes_and_determinism():
+    model = tiny_lm()
+    prompt = jnp.array([[1, 2, 3]], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), prompt)
+    out = generate(model, params, prompt, max_new_tokens=4, temperature=0.0)
+    assert out.shape == (1, 7)
+    out2 = generate(model, params, prompt, max_new_tokens=4,
+                    temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
