@@ -148,6 +148,9 @@ class CellLoader:
         return len(self.dataset) // self.batch_size
 
     def __iter__(self):
+        from fastvim_tpu import native
+
+        use_native = native.available()
         idxs = np.arange(len(self.dataset))
         if self.training:
             np.random.default_rng(self.seed + self.epoch).shuffle(idxs)
@@ -159,11 +162,21 @@ class CellLoader:
                 if out is None:
                     continue
                 arr, label = out
-                rng = random.Random((self.seed, self.epoch, int(j)))
-                imgs.append(cell_augment(arr, rng, self.size, self.mean,
-                                         self.std, training=self.training))
+                if use_native and arr.shape[:2] == (self.size, self.size):
+                    imgs.append(arr.astype(np.float32))
+                else:
+                    rng = random.Random((self.seed, self.epoch, int(j)))
+                    imgs.append(cell_augment(
+                        arr, rng, self.size, self.mean, self.std,
+                        training=self.training))
                 labels.append(label)
             if not imgs:
                 continue
-            yield {"image": np.stack(imgs).astype(np.float32),
+            batch = np.stack(imgs).astype(np.float32)
+            if use_native and batch.shape[1] == self.size:
+                # C++ threaded flip/pad-crop/normalize pipeline
+                batch = native.cell_augment_batch(
+                    batch, seed=self.seed * 10007 + self.epoch * 101 + i,
+                    training=self.training, mean=self.mean, std=self.std)
+            yield {"image": batch,
                    "label": np.asarray(labels, np.int64)}
