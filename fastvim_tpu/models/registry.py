@@ -71,15 +71,37 @@ for _size, _patch in [("tiny", 16), ("small", 16), ("base", 16),
     register_model(_fn)
     register_alias(f"fastvim_{_size}", _name)
 
-# Vim baselines (full-length scan, no pooling) — models/vim.py registry.
+# Vim baselines (full-length scan, no pooling, middle cls token) —
+# models/vim.py registry (`…_with_midclstok_div2`, vim.py:641-…).
+def _make_vim_factory(size: str):
+    cfg = _SIZES[size]
+
+    def factory(img_size=224, **kwargs):
+        params = dict(_COMMON, img_size=img_size, **cfg)
+        params.update(collapse_method="none", rotate_every_block=False,
+                      if_cls_token=True, use_middle_cls_token=True)
+        params.update(kwargs)
+        return VisionMamba(**params)
+
+    return factory
+
+
 for _size, _patch in [("tiny", 16), ("small", 16), ("base", 16),
                       ("large", 16), ("huge", 14)]:
-    _name = (f"vim_{_size}_patch{_patch}_224_baseline_"
-             "final_pool_mean_abs_pos_embed_with_noclstok_div2")
-    _fn = _make_factory(_size, "none")
+    _name = (f"vim_{_size}_patch{_patch}_224_final_pool_mean_"
+             "abs_pos_embed_with_midclstok_div2")
+    _fn = _make_vim_factory(_size)
     _fn.__name__ = _name
     register_model(_fn)
-    register_alias(f"vim_{_size}", _name)
+    register_alias(f"vim_{_size}_midclstok", _name)
+    # plain no-cls-token baseline (used for like-for-like speed
+    # comparisons and as the seg/det Vim backbone)
+    _name2 = (f"vim_{_size}_patch{_patch}_224_baseline_"
+              "final_pool_mean_abs_pos_embed_with_noclstok_div2")
+    _fn2 = _make_factory(_size, "none")
+    _fn2.__name__ = _name2
+    register_model(_fn2)
+    register_alias(f"vim_{_size}", _name2)
 
 
 def _register_mae():

@@ -43,6 +43,8 @@ class VisionMamba(nn.Module):
     fused_add_norm: bool = True  # kept for config parity; always fused here
     final_pool_type: str = "mean"
     if_abs_pos_embed: bool = True
+    if_cls_token: bool = False
+    use_middle_cls_token: bool = False
     init_layer_scale: Optional[float] = None
     scanpath_type: str = "rowwise"
     use_norm_after_ssm: bool = True
@@ -78,10 +80,30 @@ class VisionMamba(nn.Module):
             scanpath_type=self.scanpath_type, dtype=self.dtype,
             name="patch_embed")(x)
 
+        cls_position = None
+        if self.if_cls_token:
+            # Vim baseline: cls token in the middle of the (non-pooled)
+            # scan sequence (models/vim.py:417-431)
+            assert self.collapse_method == "none" and \
+                not self.rotate_every_block, (
+                    "cls token is only supported for the non-pooled, "
+                    "non-rotating Vim baseline")
+            assert self.out_indices is None
+            M = tokens.shape[1]
+            cls_tok = self.param("cls_token", trunc_normal_init(0.02),
+                                 (1, 1, self.embed_dim))
+            cls_tok = jnp.broadcast_to(
+                cls_tok.astype(tokens.dtype), (B, 1, self.embed_dim))
+            cls_position = M // 2 if self.use_middle_cls_token else 0
+            tokens = jnp.concatenate(
+                [tokens[:, :cls_position], cls_tok,
+                 tokens[:, cls_position:]], axis=1)
+
         if self.if_abs_pos_embed:
+            n_pos = self.num_patches + (1 if self.if_cls_token else 0)
             pos = self.param("pos_embed", trunc_normal_init(0.02),
-                             (1, self.num_patches, self.embed_dim))
-            if (rows, cols) != self._train_grid():
+                             (1, n_pos, self.embed_dim))
+            if (rows, cols) != self._train_grid() and not self.if_cls_token:
                 pos = resize_pos_embed(pos, (rows, cols), self._train_grid(),
                                        self.scanpath_type)
             tokens = tokens + pos.astype(tokens.dtype)
@@ -145,7 +167,10 @@ class VisionMamba(nn.Module):
                           eps=self.norm_epsilon, rms=self.rms_norm,
                           out_dtype=self.dtype)
 
-        if self.final_pool_type == "mean":
+        if cls_position is not None:
+            # return only the cls token (models/vim.py:484-486)
+            feat = hidden[:, cls_position]
+        elif self.final_pool_type == "mean":
             feat = hidden.mean(axis=1)
         elif self.final_pool_type == "none":
             feat = hidden[:, -1]
