@@ -32,6 +32,7 @@ from fastvim_tpu.models.layers import (
     torch_linear_init,
 )
 from fastvim_tpu.ops import causal_conv1d, layer_norm, selective_scan
+from fastvim_tpu.ops.conv import anticausal_conv1d
 from fastvim_tpu.ops.scan import _prod, broadcast_grid, pool_grid
 
 Array = jax.Array
@@ -98,7 +99,8 @@ class MambaMixer(nn.Module):
         return conv_w, conv_b, x_proj_w, dt_w, dt_b, A_log, Dp
 
     def _scan_branch(self, x: Array, params, grid_shape, pool_axes,
-                     row_onehot: Optional[Array] = None) -> Array:
+                     row_onehot: Optional[Array] = None,
+                     reverse: bool = False) -> Array:
         """One scan direction: conv → (pool) → projections → scan →
         (broadcast) → + D·conv_out. x: (batch, L, d_inner).
 
@@ -109,38 +111,64 @@ class MambaMixer(nn.Module):
         per-token gather of its row's scan output
         (mamba_simple_masked_faster.py:261-263); both are one-hot matmuls
         here (MXU-friendly, static shapes).
+
+        ``reverse=True`` is the mixer's backward direction, computed
+        entirely in original token order (the reference materializes a
+        flipped copy, mamba_simple_faster.py:272-285): the causal conv of
+        the flipped sequence is an anticausal conv here, pooling is
+        order-invariant within each pooled group, and only the compressed
+        (rows-length) arrays — or the scan's internal direction — are
+        reversed. Zero full-length flips.
         """
         conv_w, conv_b, x_proj_w, dt_w, dt_b, A_log, Dp = params
         dtype = self.dtype
-        xc = causal_conv1d(x, conv_w.astype(dtype),
-                           None if conv_b is None else conv_b.astype(dtype))
+        conv = anticausal_conv1d if reverse else causal_conv1d
+        xc = conv(x, conv_w.astype(dtype),
+                  None if conv_b is None else conv_b.astype(dtype))
         pooled = self.collapse_method != "none"
         if row_onehot is not None:
             assert self.collapse_method == "mean", (
                 "masked pooling supports mean only")
+            # reverse branch: scatter the anticausal conv output with the
+            # REVERSED row-id sequence — positionally identical to the
+            # reference's scatter of the flipped sequence with unflipped
+            # ids (mamba_simple_masked_faster.py:213-215)
+            oh = row_onehot[:, ::-1] if reverse else row_onehot
+            oh = oh.astype(dtype)
             divisor = _prod(grid_shape[a] for a in pool_axes)
-            oh = row_onehot.astype(dtype)
             xp = jnp.einsum("blr,bld->brd", oh, xc) / divisor
         elif pooled:
             xp = pool_grid(xc, grid_shape, pool_axes, self.collapse_method,
                            self.scaling_factor)
         else:
             xp = xc
-        # x_proj → (dt_rank | n | n); dt_proj applied to the dt slice
+        # x_proj → (dt_rank | n | n); dt_proj applied to the dt slice.
+        # These are pointwise per (compressed) position, so they commute
+        # with the scan direction.
         dbl = jnp.dot(xp, x_proj_w.astype(dtype))
         r, n = self.dt_rank_, self.d_state
         dt, Bm, Cm = (dbl[..., :r], dbl[..., r:r + n], dbl[..., r + n:])
         dt = jnp.dot(dt, dt_w.astype(dtype))
         A = -jnp.exp(A_log.astype(jnp.float32))
+        # Scan direction: the dense pooled reverse branch scans the
+        # compressed sequence right-to-left (the flipped grid's kept-axis
+        # raster is exactly the reversed raster); the masked reverse
+        # branch scans its row bins ASCENDING, like forward — the
+        # reference's scatter indexes bins by explicit row id for both
+        # directions (mamba_simple_masked_faster.py:248-259,284-295) and
+        # only the token↔bin assignment is positional.
+        scan_reverse = reverse and row_onehot is None
         y = selective_scan(xp, dt, A, Bm, Cm, D=None, delta_bias=dt_b,
-                           delta_softplus=True, impl=self.scan_impl)
+                           delta_softplus=True, impl=self.scan_impl,
+                           reverse=scan_reverse)
         if row_onehot is not None:
-            y = jnp.einsum("blr,brd->bld", row_onehot.astype(y.dtype), y)
+            y = jnp.einsum("blr,brd->bld", oh, y)
         elif pooled:
             y = broadcast_grid(y, grid_shape, pool_axes)
-        return (y.astype(jnp.float32)
-                + Dp.astype(jnp.float32)[None, None] * xc.astype(jnp.float32)
-                ).astype(dtype)
+        # D·conv_out skip in the working dtype — the scan itself already
+        # ran fp32; keeping this residual in bf16 halves HBM traffic on
+        # the full-length activations.
+        return y.astype(dtype) + Dp.astype(dtype)[None, None] * xc
 
     @nn.compact
     def __call__(self, x: Array, grid_shape: Tuple[int, ...],
@@ -173,17 +201,20 @@ class MambaMixer(nn.Module):
         bwd = self._dir_params("_b")
 
         y_f = self._scan_branch(xin, fwd, grid_shape, pool_axes, row_onehot)
-        y_b = self._scan_branch(xin[:, ::-1], bwd, grid_shape, pool_axes,
-                                row_onehot)[:, ::-1]
+        # reverse branch in original order — no full-length flips
+        y_b = self._scan_branch(xin, bwd, grid_shape, pool_axes,
+                                row_onehot, reverse=True)
 
-        merged = (y_f.astype(jnp.float32) + y_b.astype(jnp.float32)) / 2.0
+        # merge in working dtype; layer_norm upcasts to fp32 internally
+        # (per-element, fused by XLA — no fp32 materialization in HBM)
+        merged = (y_f + y_b) * jnp.asarray(0.5, dtype)
         if self.use_norm_after_ssm:
             ln_w = self.param("layernorm_weight", nn.initializers.ones,
                               (d_inner,))
             ln_b = self.param("layernorm_bias", nn.initializers.zeros,
                               (d_inner,))
             merged = layer_norm(merged, ln_w, ln_b, eps=self.norm_eps)
-        merged = (merged * jax.nn.silu(z.astype(jnp.float32))).astype(dtype)
+        merged = merged * jax.nn.silu(z)
 
         out = nn.Dense(
             self.d_model, use_bias=self.bias,

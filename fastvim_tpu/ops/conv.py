@@ -48,6 +48,39 @@ def causal_conv1d(
     return y
 
 
+def anticausal_conv1d(
+    x: Array,
+    weight: Array,
+    bias: Optional[Array] = None,
+    activation: Optional[str] = "silu",
+) -> Array:
+    """Causal conv of the *reversed* sequence, expressed in original order.
+
+    flip(causal_conv1d(flip(x), w)) == anticausal_conv1d(x, w):
+    y[t] = sum_j w[width-1-j] * x[t + j] (zero-padded at the end). Lets the
+    bidirectional mixer's reverse branch run without materializing
+    full-length flipped activations (the reference flips, mamba_simple_
+    faster.py:272; on TPU the flip is a full HBM round-trip worth
+    avoiding).
+    """
+    width, d = weight.shape
+    assert x.shape[-1] == d, (x.shape, weight.shape)
+    L = x.shape[1]
+    pad = width - 1
+    xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    y = None
+    for j in range(width):
+        term = xp[:, j : j + L, :] * weight[width - 1 - j][None, None, :]
+        y = term if y is None else y + term
+    if bias is not None:
+        y = y + bias[None, None, :]
+    if activation == "silu":
+        y = jax.nn.silu(y)
+    elif activation is not None:
+        raise ValueError(f"unknown activation {activation!r}")
+    return y
+
+
 def causal_conv1d_update(
     x: Array, conv_state: Array, weight: Array,
     bias: Optional[Array] = None, activation: Optional[str] = "silu",

@@ -84,6 +84,10 @@ def _finalize(y, u, D, z, dtype):
     return y.astype(dtype)
 
 
+def _flip_bc(mat):
+    return mat[:, ::-1] if mat.ndim >= 3 else mat
+
+
 def selective_scan_ref(
     u: Array,
     delta: Array,
@@ -95,12 +99,26 @@ def selective_scan_ref(
     delta_bias: Optional[Array] = None,
     delta_softplus: bool = False,
     return_last_state: bool = False,
+    reverse: bool = False,
 ):
     """Sequential oracle. u/delta/z: (batch, L, d); A: (d, n); D: (d,).
 
     B, C: (d, n) | (batch, L, n) | (batch, L, g, n).
     Returns y (batch, L, d) [and last_state (batch, d, n)].
+
+    reverse=True scans right-to-left (h[t] = a[t]·h[t+1] + b[t]) with the
+    output in original order — equivalent to flip→scan→flip, letting the
+    bidirectional mixer skip full-length flips.
     """
+    if reverse:
+        out = selective_scan_ref(
+            u[:, ::-1], delta[:, ::-1], A, _flip_bc(B), _flip_bc(C), D=D,
+            z=None if z is None else z[:, ::-1], delta_bias=delta_bias,
+            delta_softplus=delta_softplus,
+            return_last_state=return_last_state)
+        if return_last_state:
+            return out[0][:, ::-1], out[1]
+        return out[:, ::-1]
     dtype = u.dtype
     u32, a, b, Cx = _prepare(u, delta, A, B, C, delta_bias, delta_softplus)
     batch, L, d = u.shape
@@ -132,29 +150,42 @@ def _assoc_combine(left, right):
 def selective_scan_assoc(
     u, delta, A, B, C,
     D=None, z=None, delta_bias=None, delta_softplus=False,
-    return_last_state=False,
+    return_last_state=False, reverse=False,
 ):
-    """Log-depth associative scan (XLA). Same contract as selective_scan_ref."""
+    """Log-depth associative scan (XLA). Same contract as selective_scan_ref.
+
+    reverse=True uses lax.associative_scan's native reverse mode — a
+    suffix scan with no full-length flips materialized.
+    """
     dtype = u.dtype
     u32, a, b, Cx = _prepare(u, delta, A, B, C, delta_bias, delta_softplus)
-    _, hs = lax.associative_scan(_assoc_combine, (a, b), axis=1)
+    if reverse:
+        # reversed recurrence h[t] = a[t]·h[t+1] + b[t]: reverse=True is
+        # exactly flip→scan→flip with the same (non-commutative) combine
+        _, hs = lax.associative_scan(_assoc_combine, (a, b), axis=1,
+                                     reverse=True)
+        last = hs[:, 0]
+    else:
+        _, hs = lax.associative_scan(_assoc_combine, (a, b), axis=1)
+        last = hs[:, -1]
     y = jnp.sum(hs * Cx, axis=-1)
     out = _finalize(y, u32, D, z, dtype)
     if return_last_state:
-        return out, hs[:, -1]
+        return out, last
     return out
 
 
 def selective_scan(
     u, delta, A, B, C,
     D=None, z=None, delta_bias=None, delta_softplus=False,
-    return_last_state=False, impl: str = "auto",
+    return_last_state=False, impl: str = "auto", reverse: bool = False,
 ):
     """Dispatching entry point.
 
     impl="auto" picks the associative XLA scan for short sequences and the
     Pallas chunked kernel for long ones on TPU (falling back to assoc
-    elsewhere).
+    elsewhere). reverse=True scans right-to-left with output in original
+    order (the flip-free bidirectional path).
     """
     if impl == "auto":
         L = u.shape[1]
@@ -175,6 +206,12 @@ def selective_scan(
     elif impl == "pallas":
         from fastvim_tpu.ops.pallas.selective_scan import selective_scan_pallas
 
+        if reverse:
+            # kernel is forward-only for now: flip-wrap (Vim baseline path)
+            y = selective_scan_pallas(
+                u[:, ::-1], delta[:, ::-1], A, B[:, ::-1], C[:, ::-1], D=D,
+                delta_bias=delta_bias, delta_softplus=delta_softplus)
+            return y[:, ::-1]
         return selective_scan_pallas(
             u, delta, A, B, C, D=D, delta_bias=delta_bias,
             delta_softplus=delta_softplus,
@@ -184,6 +221,7 @@ def selective_scan(
     return fn(
         u, delta, A, B, C, D=D, z=z, delta_bias=delta_bias,
         delta_softplus=delta_softplus, return_last_state=return_last_state,
+        reverse=reverse,
     )
 
 

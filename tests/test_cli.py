@@ -21,19 +21,9 @@ def test_config_loader_interpolation():
     assert cfg["data"]["img_size"] == cfg["img_size"]
 
 
-def test_cli_train_classification(tmp_path):
-    from fastvim_tpu.cli.train_classification import main
-
-    state = main([
-        "--config_name", "FastVimT", "--model_save_dir", str(tmp_path),
-        "--synthetic_samples", "8",
-        *TINY,
-        "model=fastvim_tiny",
-        # shrink the model itself via overrides on the registry factory?
-        # registry models are full-size; use a direct tiny model instead
-    ] + ["num_classes=5"]) if False else None
-    # full fastvim_tiny is too slow for CPU CI; exercise the wiring with a
-    # handcrafted tiny config instead
+def test_cli_train_classification(tmp_path, tiny_model_patch):
+    # full fastvim_tiny is too slow for CPU CI; the fixture shrinks the
+    # registry models, and a handcrafted config exercises the wiring
     import yaml
 
     cfg = {

@@ -183,6 +183,32 @@ def test_pooled_scan_matches_compressed_ref(cols, method):
     np.testing.assert_allclose(np.asarray(y), y_np, rtol=5e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("impl", ["ref", "assoc"])
+def test_reverse_scan_equals_flip_scan_flip(impl):
+    u, delta, A, B, C, D, z, bias = make_inputs(
+        jax.random.PRNGKey(8), 2, 21, 8, 4)
+    y_rev = selective_scan(u, delta, A, B, C, D=D, delta_bias=bias,
+                           delta_softplus=True, impl=impl, reverse=True)
+    y_flip = selective_scan(
+        u[:, ::-1], delta[:, ::-1], A, B[:, ::-1], C[:, ::-1], D=D,
+        delta_bias=bias, delta_softplus=True, impl=impl)[:, ::-1]
+    np.testing.assert_allclose(np.asarray(y_rev), np.asarray(y_flip),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_anticausal_conv_equals_flip_conv_flip():
+    from fastvim_tpu.ops.conv import anticausal_conv1d, causal_conv1d
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 9, 6)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((4, 6)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(6), jnp.float32)
+    got = anticausal_conv1d(x, w, b)
+    want = causal_conv1d(x[:, ::-1], w, b)[:, ::-1]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_dispatch():
     u, delta, A, B, C, D, z, bias = make_inputs(
         jax.random.PRNGKey(7), 1, 16, 8, 4)
