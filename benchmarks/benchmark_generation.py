@@ -1,0 +1,56 @@
+"""LM generation benchmark (mirror of the reference's
+`mamba-1p1p1/benchmarks/benchmark_generation_mamba_simple.py`).
+
+  python benchmarks/benchmark_generation.py --d_model 768 --n_layer 24 \
+      --promptlen 100 --genlen 100 --batch 8
+"""
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--d_model", type=int, default=768)
+    p.add_argument("--n_layer", type=int, default=24)
+    p.add_argument("--vocab", type=int, default=50277)
+    p.add_argument("--promptlen", type=int, default=100)
+    p.add_argument("--genlen", type=int, default=100)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--repeats", type=int, default=3)
+    args = p.parse_args()
+
+    from fastvim_tpu.models.lm import MambaLMHeadModel, generate
+
+    model = MambaLMHeadModel(vocab_size=args.vocab, d_model=args.d_model,
+                             n_layer=args.n_layer, dtype=jnp.bfloat16)
+    prompt = jnp.ones((args.batch, args.promptlen), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), prompt)
+
+    # warmup (compile)
+    out = generate(model, params, prompt, max_new_tokens=args.genlen,
+                   temperature=0.0)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        out = generate(model, params, prompt, max_new_tokens=args.genlen,
+                       temperature=0.0)
+        out.block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    toks = args.batch * args.genlen
+    print(json.dumps({
+        "metric": "mamba_lm_decode_tokens_per_sec",
+        "value": round(toks / best, 1),
+        "unit": "tokens/sec",
+        "batch": args.batch, "promptlen": args.promptlen,
+        "genlen": args.genlen, "seconds": round(best, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
