@@ -165,7 +165,8 @@ class CellLoader:
                 if use_native and arr.shape[:2] == (self.size, self.size):
                     imgs.append(arr.astype(np.float32))
                 else:
-                    rng = random.Random((self.seed, self.epoch, int(j)))
+                    rng = random.Random(
+                        hash((self.seed, self.epoch, int(j))))
                     imgs.append(cell_augment(
                         arr, rng, self.size, self.mean, self.std,
                         training=self.training))

@@ -111,18 +111,23 @@ class DataLoader:
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         batches = list(self._batches())
         self.epoch += 1
+        epoch = self.epoch
 
         def worker():
-            for bi, batch_idx in enumerate(batches):
-                imgs, labels = [], []
-                for j in batch_idx:
-                    img, label = self.dataset.load(int(j))
-                    rng = random.Random((self.seed, self.epoch, int(j)))
-                    imgs.append(self.transform(img, rng))
-                    labels.append(label)
-                out_q.put((np.stack(imgs).astype(np.float32),
-                           np.asarray(labels, np.int64)))
-            out_q.put(None)
+            try:
+                for bi, batch_idx in enumerate(batches):
+                    imgs, labels = [], []
+                    for j in batch_idx:
+                        img, label = self.dataset.load(int(j))
+                        rng = random.Random(
+                            hash((self.seed, epoch, int(j))))
+                        imgs.append(self.transform(img, rng))
+                        labels.append(label)
+                    out_q.put((np.stack(imgs).astype(np.float32),
+                               np.asarray(labels, np.int64)))
+                out_q.put(None)
+            except BaseException as e:  # propagate to the consumer
+                out_q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -130,6 +135,8 @@ class DataLoader:
             item = out_q.get()
             if item is None:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield {"image": item[0], "label": item[1]}
 
 
