@@ -119,3 +119,47 @@ def test_cli_train_cells(tmp_path, tiny_model_patch):
         "data.normalization_mean=null", "data.normalization_std=null",
     ])
     assert int(state.step) >= 1
+
+
+def test_cli_finetune_then_linear(tmp_path, tiny_model_patch):
+    """MAE pretrain checkpoint → finetune with surgery → linear probe."""
+    from fastvim_tpu.cli.finetune_mae import main as ft_main
+    from fastvim_tpu.cli.linear_probe import main as lp_main
+    from fastvim_tpu.cli.pretrain_mae import main as pt_main
+
+    pt_state = pt_main([
+        "--config_name", "pretrain_FastVimT",
+        "--model_save_dir", str(tmp_path / "pt"),
+        "--synthetic_samples", "8", *TINY,
+    ])
+    import os
+
+    ckpts = os.listdir(tmp_path / "pt" / "ckpt")
+    ckpt = str(tmp_path / "pt" / "ckpt" / sorted(ckpts)[-1])
+    ft_state = ft_main([
+        "--config_name", "finetune_FastVimB",
+        "--model_save_dir", str(tmp_path / "ft"),
+        "--synthetic_samples", "8", *TINY,
+        "model=fastvim_tiny", "num_classes=5",
+        f"pretrained_checkpoint_path={ckpt}",
+    ])
+    assert int(ft_state.step) >= 1
+    lp_state = lp_main([
+        "--config_name", "linear_FastVimL",
+        "--model_save_dir", str(tmp_path / "lp"),
+        "--synthetic_samples", "8", *TINY,
+        "model=fastvim_tiny", "num_classes=5",
+        f"pretrained_checkpoint_path={ckpt}",
+    ])
+    assert int(lp_state.step) >= 1
+
+
+def test_cli_extract_features(tiny_model_patch):
+    from fastvim_tpu.cli.extract_features import main
+
+    feats = main([
+        "--config_name", "upernet_FastVimT_ade20k",
+        "img_size=16", "patch_size=8", "out_indices=[1]", "--with_fpn",
+    ])
+    assert len(feats) == 1
+    assert feats[0].shape == (1, 2, 2, 32)
