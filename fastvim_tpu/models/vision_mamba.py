@@ -53,6 +53,7 @@ class VisionMamba(nn.Module):
     scaling_factor: float = 1.0
     out_indices: Optional[Sequence[int]] = None
     scan_impl: str = "auto"
+    remat: bool = False  # rematerialize blocks (trade FLOPs for HBM)
     dtype: Any = jnp.float32
 
     @property
@@ -128,10 +129,17 @@ class VisionMamba(nn.Module):
 
         from fastvim_tpu.parallel.mesh import maybe_shard_tokens
 
+        # jax.checkpoint per block: recompute activations in backward
+        # instead of storing 24× full-length intermediates (the TPU
+        # counterpart of the reference's checkpoint_lvl recompute,
+        # selective_scan_interface.py:303-306)
+        block_cls = (nn.remat(Block, static_argnums=(3,))
+                     if self.remat else Block)
+
         hidden, residual = maybe_shard_tokens(tokens), None
         outs = []
         for i in range(self.depth):
-            hidden, residual = Block(
+            hidden, residual = block_cls(
                 dim=self.embed_dim, layer_idx=i, token_size=(rows, cols),
                 mixer_kwargs=mixer_kwargs,
                 rotate_every_block=self.rotate_every_block,

@@ -53,7 +53,7 @@ def make_supervised_train_step(
         loss = soft_target_cross_entropy(logits, targets["soft"])
         return loss, logits
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, rng):
         rng_mix, rng_drop = jax.random.split(jax.random.fold_in(
             rng, state.step))
@@ -114,7 +114,7 @@ def make_mae_train_step(model, mask_ratio: float = 0.75,
                                  deterministic=False, rngs={"mask": rng})
         return loss
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, rng):
         rng_mask = jax.random.fold_in(rng, state.step)
         loss, grads = jax.value_and_grad(loss_fn)(
@@ -133,7 +133,7 @@ def make_linear_probe_step(model, head_apply, num_classes: int):
         logits = head_apply(head_params, feats)
         return cross_entropy(logits, labels), logits
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, feats, labels):
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, feats, labels)
