@@ -37,28 +37,34 @@ Array = jax.Array
 
 
 def _expand_bc(mat: Array, batch: int, L: int, d: int, n: int) -> Array:
-    """Broadcast B/C to (batch, L, d, n) from any supported layout.
+    """Broadcast B/C to the (batch, L, n, d)-compatible layout.
 
     Supported layouts (mirroring `selective_scan_ref` docstring,
     selective_scan_interface.py:139-146):
       (d, n)           constant over batch/time
       (batch, L, n)    input-dependent (the Mamba/FastVim case)
       (batch, L, g, n) grouped input-dependent; groups broadcast over d//g
+
+    NOTE the internal scan layout is (batch, L, n, d): the model dim d
+    (192…2560) rides the TPU lane dimension; putting the tiny state dim
+    n=16 last would force 16→128 lane padding and ~8× wasted HBM traffic
+    on every scan intermediate.
     """
-    if mat.ndim == 2:  # (d, n)
-        return mat[None, None].astype(jnp.float32)
-    if mat.ndim == 3:  # (batch, L, n)
-        return mat[:, :, None, :].astype(jnp.float32)
-    if mat.ndim == 4:  # (batch, L, g, n)
+    if mat.ndim == 2:  # (d, n) → (1, 1, n, d)
+        return mat.T[None, None].astype(jnp.float32)
+    if mat.ndim == 3:  # (batch, L, n) → (batch, L, n, 1)
+        return mat[:, :, :, None].astype(jnp.float32)
+    if mat.ndim == 4:  # (batch, L, g, n) → (batch, L, n, d)
         g = mat.shape[2]
         rep = d // g
         mat = jnp.repeat(mat, rep, axis=2)  # (batch, L, d, n)
-        return mat.astype(jnp.float32)
+        return jnp.swapaxes(mat, 2, 3).astype(jnp.float32)
     raise ValueError(f"unsupported B/C shape {mat.shape}")
 
 
 def _prepare(u, delta, A, B, C, delta_bias, delta_softplus):
-    """Common fp32 preparation: biased/softplused delta, scan elements a, b."""
+    """Common fp32 preparation: biased/softplused delta, scan elements
+    a, b in (batch, L, n, d) layout (see _expand_bc note)."""
     batch, L, d = u.shape
     n = A.shape[1]
     u = u.astype(jnp.float32)
@@ -67,11 +73,11 @@ def _prepare(u, delta, A, B, C, delta_bias, delta_softplus):
         delta = delta + delta_bias.astype(jnp.float32)[None, None, :]
     if delta_softplus:
         delta = jax.nn.softplus(delta)
-    A = A.astype(jnp.float32)
-    # a[t] = exp(delta[t] ⊗ A): (batch, L, d, n)
-    a = jnp.exp(delta[..., None] * A[None, None])
+    At = A.T.astype(jnp.float32)  # (n, d)
+    # a[t] = exp(delta[t] ⊗ A): (batch, L, n, d)
+    a = jnp.exp(delta[:, :, None, :] * At[None, None])
     Bx = _expand_bc(B, batch, L, d, n)
-    b = delta[..., None] * Bx * u[..., None]  # (batch, L, d, n)
+    b = delta[:, :, None, :] * Bx * u[:, :, None, :]  # (batch, L, n, d)
     Cx = _expand_bc(C, batch, L, d, n)
     return u, a, b, Cx
 
@@ -125,19 +131,19 @@ def selective_scan_ref(
     n = A.shape[1]
 
     def step(h, ab):
-        at, bt = ab  # (batch, d, n)
+        at, bt = ab  # (batch, n, d)
         h = at * h + bt
         return h, h
 
-    h0 = jnp.zeros((batch, d, n), jnp.float32)
+    h0 = jnp.zeros((batch, n, d), jnp.float32)
     a_t = jnp.moveaxis(a, 1, 0)
     b_t = jnp.moveaxis(b, 1, 0)
     h_last, hs = lax.scan(step, h0, (a_t, b_t))
-    hs = jnp.moveaxis(hs, 0, 1)  # (batch, L, d, n)
-    y = jnp.sum(hs * Cx, axis=-1)
+    hs = jnp.moveaxis(hs, 0, 1)  # (batch, L, n, d)
+    y = jnp.sum(hs * Cx, axis=2)
     out = _finalize(y, u32, D, z, dtype)
     if return_last_state:
-        return out, h_last
+        return out, jnp.swapaxes(h_last, 1, 2)  # (batch, d, n)
     return out
 
 
@@ -168,10 +174,10 @@ def selective_scan_assoc(
     else:
         _, hs = lax.associative_scan(_assoc_combine, (a, b), axis=1)
         last = hs[:, -1]
-    y = jnp.sum(hs * Cx, axis=-1)
+    y = jnp.sum(hs * Cx, axis=2)
     out = _finalize(y, u32, D, z, dtype)
     if return_last_state:
-        return out, last
+        return out, jnp.swapaxes(last, 1, 2)  # (batch, d, n)
     return out
 
 
