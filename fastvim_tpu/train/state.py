@@ -20,8 +20,11 @@ class TrainState(struct.PyTreeNode):
     @classmethod
     def create(cls, params, tx, ema: bool = False):
         opt_state = tx.init(params)
+        # copy=True: an fp32 astype would alias the param buffer, and the
+        # donated train step would then donate the same buffer twice
         ema_params = jax.tree_util.tree_map(
-            lambda p: p.astype(jnp.float32), params) if ema else None
+            lambda p: jnp.array(p, dtype=jnp.float32, copy=True),
+            params) if ema else None
         return cls(step=jnp.zeros((), jnp.int32), params=params,
                    opt_state=opt_state, ema_params=ema_params, tx=tx)
 
