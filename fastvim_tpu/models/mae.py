@@ -155,6 +155,7 @@ class MaskedAutoencoderVim(nn.Module):
     rotate_every_block: bool = True
     collapse_method: str = "mean"
     scan_impl: str = "auto"
+    remat: bool = False  # rematerialize encoder blocks (Huge-scale)
     dtype: Any = jnp.float32
 
     @property
@@ -212,9 +213,11 @@ class MaskedAutoencoderVim(nn.Module):
             scan_impl=self.scan_impl,
             **(self.ssm_cfg or {}),
         )
+        block_cls = (nn.remat(BlockMasked, static_argnums=(4,))
+                     if self.remat else BlockMasked)
         hidden, residual = visible, None
         for i in range(self.depth):
-            hidden, residual = BlockMasked(
+            hidden, residual = block_cls(
                 dim=self.embed_dim, layer_idx=i, token_size=(rows, cols),
                 mixer_kwargs=mixer_kwargs,
                 rotate_every_block=self.rotate_every_block,

@@ -65,6 +65,7 @@ class MambaMixer(nn.Module):
     n_layer: int = 24
     norm_eps: float = 1e-5
     scan_impl: str = "auto"
+    fused_kernels: str = "auto"  # "auto" | "always" | "never"
     dtype: Any = jnp.float32
 
     @property
@@ -97,6 +98,64 @@ class MambaMixer(nn.Module):
         A_log = self.param(f"A{suffix}_log", a_log_init(n), (d_inner, n))
         Dp = self.param(f"D{suffix}", nn.initializers.ones, (d_inner,))
         return conv_w, conv_b, x_proj_w, dt_w, dt_b, A_log, Dp
+
+    def _use_fused(self, grid_shape, pool_axes, row_onehot) -> bool:
+        """Fused Pallas block kernels: dense 2-D pooled path on TPU (or
+        forced), with Mosaic's 8-alignment satisfied."""
+        if self.fused_kernels == "never" or row_onehot is not None:
+            return False
+        if self.collapse_method not in ("mean", "max"):
+            return False
+        if len(grid_shape) != 2 or tuple(pool_axes) != (1,):
+            return False
+        from fastvim_tpu.ops.pallas.fused_block import fusable
+
+        rows, cols = grid_shape
+        if not fusable(rows, cols):
+            return False
+        if self.fused_kernels == "always":
+            return True
+        return jax.default_backend() == "tpu"
+
+    def _fused_forward(self, xin: Array, z: Array, fwd, bwd, grid_shape,
+                       ln_w, ln_b) -> Array:
+        """conv+pool and broadcast+skip+merge+LN+gate as fused Pallas
+        kernels; projections and the tiny row scans stay in XLA."""
+        from fastvim_tpu.ops.pallas.fused_block import conv_pool, merge_gate
+
+        rows, cols = grid_shape
+        d_inner = self.d_inner
+        interpret = jax.default_backend() != "tpu"
+        wf, bf_, *_ = fwd[:2]
+        wb, bb_, *_ = bwd[:2]
+        zeros = jnp.zeros((d_inner,), jnp.float32)
+        bf_ = zeros if bf_ is None else bf_
+        bb_ = zeros if bb_ is None else bb_
+        pf, pb = conv_pool(xin, fwd[0], bf_, bwd[0], bb_, rows, cols,
+                           self.collapse_method, self.scaling_factor,
+                           interpret)
+        y_f = self._proj_scan(pf, fwd, scan_reverse=False)
+        y_b = self._proj_scan(pb, bwd, scan_reverse=True)
+        lw = jnp.ones((d_inner,), jnp.float32) if ln_w is None else ln_w
+        lb = jnp.zeros((d_inner,), jnp.float32) if ln_b is None else ln_b
+        return merge_gate(
+            xin, z, y_f.astype(jnp.float32), y_b.astype(jnp.float32),
+            fwd[0], bf_, bwd[0], bb_, fwd[6], bwd[6], lw, lb, rows, cols,
+            self.norm_eps, self.use_norm_after_ssm, interpret)
+
+    def _proj_scan(self, xp: Array, params, scan_reverse: bool) -> Array:
+        """x_proj → dt/B/C → dt_proj → selective scan on a (compressed)
+        sequence; pointwise projections commute with scan direction."""
+        _, _, x_proj_w, dt_w, dt_b, A_log, _ = params
+        dtype = self.dtype
+        dbl = jnp.dot(xp.astype(dtype), x_proj_w.astype(dtype))
+        r, n = self.dt_rank_, self.d_state
+        dt, Bm, Cm = (dbl[..., :r], dbl[..., r:r + n], dbl[..., r + n:])
+        dt = jnp.dot(dt, dt_w.astype(dtype))
+        A = -jnp.exp(A_log.astype(jnp.float32))
+        return selective_scan(xp.astype(dtype), dt, A, Bm, Cm, D=None,
+                              delta_bias=dt_b, delta_softplus=True,
+                              impl=self.scan_impl, reverse=scan_reverse)
 
     def _scan_branch(self, x: Array, params, grid_shape, pool_axes,
                      row_onehot: Optional[Array] = None,
@@ -142,14 +201,6 @@ class MambaMixer(nn.Module):
                            self.scaling_factor)
         else:
             xp = xc
-        # x_proj → (dt_rank | n | n); dt_proj applied to the dt slice.
-        # These are pointwise per (compressed) position, so they commute
-        # with the scan direction.
-        dbl = jnp.dot(xp, x_proj_w.astype(dtype))
-        r, n = self.dt_rank_, self.d_state
-        dt, Bm, Cm = (dbl[..., :r], dbl[..., r:r + n], dbl[..., r + n:])
-        dt = jnp.dot(dt, dt_w.astype(dtype))
-        A = -jnp.exp(A_log.astype(jnp.float32))
         # Scan direction: the dense pooled reverse branch scans the
         # compressed sequence right-to-left (the flipped grid's kept-axis
         # raster is exactly the reversed raster); the masked reverse
@@ -158,9 +209,7 @@ class MambaMixer(nn.Module):
         # directions (mamba_simple_masked_faster.py:248-259,284-295) and
         # only the token↔bin assignment is positional.
         scan_reverse = reverse and row_onehot is None
-        y = selective_scan(xp, dt, A, Bm, Cm, D=None, delta_bias=dt_b,
-                           delta_softplus=True, impl=self.scan_impl,
-                           reverse=scan_reverse)
+        y = self._proj_scan(xp, params, scan_reverse)
         if row_onehot is not None:
             y = jnp.einsum("blr,brd->bld", oh, y)
         elif pooled:
@@ -200,21 +249,31 @@ class MambaMixer(nn.Module):
         fwd = self._dir_params("")
         bwd = self._dir_params("_b")
 
-        y_f = self._scan_branch(xin, fwd, grid_shape, pool_axes, row_onehot)
-        # reverse branch in original order — no full-length flips
-        y_b = self._scan_branch(xin, bwd, grid_shape, pool_axes,
-                                row_onehot, reverse=True)
-
-        # merge in working dtype; layer_norm upcasts to fp32 internally
-        # (per-element, fused by XLA — no fp32 materialization in HBM)
-        merged = (y_f + y_b) * jnp.asarray(0.5, dtype)
         if self.use_norm_after_ssm:
             ln_w = self.param("layernorm_weight", nn.initializers.ones,
                               (d_inner,))
             ln_b = self.param("layernorm_bias", nn.initializers.zeros,
                               (d_inner,))
-            merged = layer_norm(merged, ln_w, ln_b, eps=self.norm_eps)
-        merged = merged * jax.nn.silu(z)
+        else:
+            ln_w = ln_b = None
+
+        if self._use_fused(grid_shape, pool_axes, row_onehot):
+            merged = self._fused_forward(xin, z, fwd, bwd, grid_shape,
+                                         ln_w, ln_b)
+        else:
+            y_f = self._scan_branch(xin, fwd, grid_shape, pool_axes,
+                                    row_onehot)
+            # reverse branch in original order — no full-length flips
+            y_b = self._scan_branch(xin, bwd, grid_shape, pool_axes,
+                                    row_onehot, reverse=True)
+
+            # merge in working dtype; layer_norm upcasts to fp32
+            # internally (per-element, fused by XLA — no fp32
+            # materialization in HBM)
+            merged = (y_f + y_b) * jnp.asarray(0.5, dtype)
+            if self.use_norm_after_ssm:
+                merged = layer_norm(merged, ln_w, ln_b, eps=self.norm_eps)
+            merged = merged * jax.nn.silu(z)
 
         out = nn.Dense(
             self.d_model, use_bias=self.bias,

@@ -1,0 +1,312 @@
+"""Fused FastVim block kernels (Pallas TPU).
+
+The FastVim mixer's cost at high resolution is pure HBM traffic on
+full-length activations; the scan itself runs over the pooled rows and is
+tiny. These two kernels collapse the per-direction elementwise chain into
+two passes over the token sequence (the TPU counterpart — and superset —
+of the reference's fused `fastvim_kernel` N5, which only fused
+scan+broadcast and kept the full output in shared memory,
+fwd_kernel.cuh:92):
+
+* ``conv_pool``: one read of the in-proj output x computes BOTH direction
+  convs (causal and anticausal, see ops/conv.py) with SiLU and reduces
+  them to the pooled row means/maxes in VMEM — conv outputs are never
+  written to HBM.
+* ``merge_gate``: one read of x (+ z and the tiny per-row scan outputs)
+  RE-computes both convs (4 taps each — cheaper than an HBM round-trip),
+  broadcasts the scan outputs over their rows, applies the D·conv skip,
+  averages directions, LayerNorms (fp32 stats) and applies the
+  silu(z) gate, writing only the merged (L, d) output.
+
+x is passed padded with ``d_conv-1 = 3`` zero tokens on each side so every
+tile's halo load is a plain dynamic slice. Tiles are whole grid rows
+(T = rows_per_tile·cols tokens) so pooling never crosses tiles.
+
+Gradients: custom VJP recomputes through the jnp reference implementations
+(`conv_pool_ref` / `merge_gate_ref`) — the fused kernels accelerate
+inference and the forward pass; backward math is XLA's.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fastvim_tpu.ops.conv import anticausal_conv1d, causal_conv1d
+
+Array = jax.Array
+
+PAD = 3   # d_conv - 1 (the conv halo)
+HALO = 4  # per-side load halo, padded to keep DMA slices 8-aligned
+
+
+def _pick_tile(rows: int, cols: int, d: int) -> int:
+    """rows_per_tile: divide rows targeting ~1024×384-equivalent tiles."""
+    target = max(1, (1024 * 384) // max(cols * d, 1))
+    rpt = 1
+    for cand in range(1, rows + 1):
+        if rows % cand == 0 and cand <= target:
+            rpt = cand
+    return rpt
+
+
+def fusable(rows: int, cols: int) -> bool:
+    """Mosaic DMA slices must be 8-aligned along the token dim: the fused
+    kernels need tile starts/sizes (multiples of cols) divisible by 8."""
+    return cols % 8 == 0 and rows >= 1
+
+
+def _convs_from_padded(xb, wf, bf, wb, bb, T):
+    """xb: (T+2·HALO, d) padded tile → causal & anticausal conv+SiLU,
+    each (T, d). Token i of the tile is xb[i+HALO]."""
+    conv_f = None
+    conv_b = None
+    for k in range(PAD + 1):
+        # causal taps cover tokens i-3..i → xb offsets i+HALO-3+k
+        seg_f = jax.lax.slice_in_dim(xb, HALO - PAD + k,
+                                     HALO - PAD + k + T, axis=0)
+        term_f = seg_f * wf[k][None, :]
+        conv_f = term_f if conv_f is None else conv_f + term_f
+        # anticausal taps cover tokens i..i+3 → xb offsets i+HALO+k
+        seg_b = jax.lax.slice_in_dim(xb, HALO + k, HALO + k + T, axis=0)
+        term_b = seg_b * wb[PAD - k][None, :]
+        conv_b = term_b if conv_b is None else conv_b + term_b
+    conv_f = jax.nn.silu(conv_f + bf[None, :])
+    conv_b = jax.nn.silu(conv_b + bb[None, :])
+    return conv_f, conv_b
+
+
+def _conv_pool_kernel(x_hbm, wf, bf, wb, bb, pf_ref, pb_ref,
+                      xbuf, sem, *, T, rows_per_tile, cols, d,
+                      method, scaling):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    cp = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(t * T, T + 2 * HALO)], xbuf, sem)
+    cp.start()
+    cp.wait()
+    xb = xbuf[...].astype(jnp.float32)
+    conv_f, conv_b = _convs_from_padded(xb, wf[...], bf[0], wb[...],
+                                        bb[0], T)
+    cf = conv_f.reshape(rows_per_tile, cols, d)
+    cb = conv_b.reshape(rows_per_tile, cols, d)
+    if method == "mean":
+        pf = jnp.mean(cf, axis=1) * scaling
+        pb = jnp.mean(cb, axis=1) * scaling
+    else:
+        pf = jnp.max(cf, axis=1)
+        pb = jnp.max(cb, axis=1)
+    pf_ref[0] = pf
+    pb_ref[0] = pb
+
+
+def _merge_kernel(x_hbm, z_ref, yf_ref, yb_ref, wf, bf, wb, bb,
+                  df, db, lnw, lnb, out_ref, xbuf, sem, *,
+                  T, rows_per_tile, cols, d, eps, use_norm):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    cp = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(t * T, T + 2 * HALO)], xbuf, sem)
+    cp.start()
+    cp.wait()
+    xb = xbuf[...].astype(jnp.float32)
+    conv_f, conv_b = _convs_from_padded(xb, wf[...], bf[0], wb[...],
+                                        bb[0], T)
+    yf = yf_ref[0].astype(jnp.float32)  # (rows_per_tile, d)
+    yb = yb_ref[0].astype(jnp.float32)
+    # broadcast per-row scan outputs + D·conv skip, average directions
+    cf = conv_f.reshape(rows_per_tile, cols, d)
+    cb = conv_b.reshape(rows_per_tile, cols, d)
+    m = (yf[:, None, :] + df[0][None, None, :] * cf
+         + yb[:, None, :] + db[0][None, None, :] * cb) * 0.5
+    m = m.reshape(T, d)
+    if use_norm:
+        mu = jnp.mean(m, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(m - mu), axis=-1, keepdims=True)
+        m = (m - mu) * jax.lax.rsqrt(var + eps)
+        m = m * lnw[0][None, :] + lnb[0][None, :]
+    z = z_ref[0].astype(jnp.float32)
+    out_ref[0] = (m * jax.nn.silu(z)).astype(out_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# jnp reference implementations (oracles + autodiff backward)
+# ---------------------------------------------------------------------------
+
+def conv_pool_ref(x, wf, bf, wb, bb, rows, cols, method="mean",
+                  scaling=1.0):
+    """x: (B, L, d) UNpadded. Returns (pooled_f, pooled_b) (B, rows, d)
+    fp32."""
+    from fastvim_tpu.ops.scan import pool_grid
+
+    cf = causal_conv1d(x.astype(jnp.float32), wf.astype(jnp.float32),
+                       bf.astype(jnp.float32))
+    cb = anticausal_conv1d(x.astype(jnp.float32), wb.astype(jnp.float32),
+                           bb.astype(jnp.float32))
+    pf = pool_grid(cf, (rows, cols), (1,), method, scaling)
+    pb = pool_grid(cb, (rows, cols), (1,), method, scaling)
+    return pf, pb
+
+
+def merge_gate_ref(x, z, y_f, y_b, wf, bf, wb, bb, df, db, lnw, lnb,
+                   rows, cols, eps=1e-5, use_norm=True):
+    """Reference for the merge kernel. x/z (B, L, d); y_f/y_b (B, rows, d).
+    Returns merged (B, L, d) in x.dtype."""
+    from fastvim_tpu.ops.scan import broadcast_grid
+
+    cf = causal_conv1d(x.astype(jnp.float32), wf.astype(jnp.float32),
+                       bf.astype(jnp.float32))
+    cb = anticausal_conv1d(x.astype(jnp.float32), wb.astype(jnp.float32),
+                           bb.astype(jnp.float32))
+    out_f = broadcast_grid(y_f.astype(jnp.float32), (rows, cols), (1,)) \
+        + df.astype(jnp.float32)[None, None] * cf
+    out_b = broadcast_grid(y_b.astype(jnp.float32), (rows, cols), (1,)) \
+        + db.astype(jnp.float32)[None, None] * cb
+    m = (out_f + out_b) * 0.5
+    if use_norm:
+        mu = m.mean(-1, keepdims=True)
+        var = ((m - mu) ** 2).mean(-1, keepdims=True)
+        m = (m - mu) * jax.lax.rsqrt(var + eps)
+        m = m * lnw.astype(jnp.float32)[None, None] \
+            + lnb.astype(jnp.float32)[None, None]
+    return (m * jax.nn.silu(z.astype(jnp.float32))).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# public entry points with custom VJP
+# ---------------------------------------------------------------------------
+
+def _conv_pool_fwd_impl(x, wf, bf, wb, bb, rows, cols, method, scaling,
+                        interpret):
+    B, L, d = x.shape
+    assert L == rows * cols
+    rpt = _pick_tile(rows, cols, d)
+    T = rpt * cols
+    x_pad = jnp.pad(x, ((0, 0), (HALO, HALO), (0, 0)))
+    kernel = functools.partial(
+        _conv_pool_kernel, T=T, rows_per_tile=rpt, cols=cols, d=d,
+        method=method, scaling=scaling)
+    grid = (B, rows // rpt)
+    pf, pb = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((PAD + 1, d), lambda b, t: (0, 0)),
+            pl.BlockSpec((1, d), lambda b, t: (0, 0)),
+            pl.BlockSpec((PAD + 1, d), lambda b, t: (0, 0)),
+            pl.BlockSpec((1, d), lambda b, t: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, rpt, d), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, rpt, d), lambda b, t: (b, t, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, rows, d), jnp.float32),
+            jax.ShapeDtypeStruct((B, rows, d), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((T + 2 * HALO, d), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x_pad, wf.astype(jnp.float32), bf.astype(jnp.float32)[None],
+      wb.astype(jnp.float32), bb.astype(jnp.float32)[None])
+    return pf, pb
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def conv_pool(x, wf, bf, wb, bb, rows, cols, method="mean", scaling=1.0,
+              interpret=False):
+    return _conv_pool_fwd_impl(x, wf, bf, wb, bb, rows, cols, method,
+                               scaling, interpret)
+
+
+def _conv_pool_vjp_fwd(x, wf, bf, wb, bb, rows, cols, method, scaling,
+                       interpret):
+    out = _conv_pool_fwd_impl(x, wf, bf, wb, bb, rows, cols, method,
+                              scaling, interpret)
+    return out, (x, wf, bf, wb, bb)
+
+
+def _conv_pool_vjp_bwd(rows, cols, method, scaling, interpret, res, g):
+    x, wf, bf, wb, bb = res
+    _, vjp = jax.vjp(
+        lambda *a: conv_pool_ref(*a, rows, cols, method, scaling),
+        x, wf, bf, wb, bb)
+    return vjp(g)
+
+
+conv_pool.defvjp(_conv_pool_vjp_fwd, _conv_pool_vjp_bwd)
+
+
+def _merge_gate_fwd_impl(x, z, y_f, y_b, wf, bf, wb, bb, df, db, lnw, lnb,
+                         rows, cols, eps, use_norm, interpret):
+    B, L, d = x.shape
+    rpt = _pick_tile(rows, cols, d)
+    T = rpt * cols
+    x_pad = jnp.pad(x, ((0, 0), (HALO, HALO), (0, 0)))
+    kernel = functools.partial(
+        _merge_kernel, T=T, rows_per_tile=rpt, cols=cols, d=d, eps=eps,
+        use_norm=use_norm)
+    grid = (B, rows // rpt)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, T, d), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, rpt, d), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((1, rpt, d), lambda b, t: (b, t, 0)),
+            pl.BlockSpec((PAD + 1, d), lambda b, t: (0, 0)),
+            pl.BlockSpec((1, d), lambda b, t: (0, 0)),
+            pl.BlockSpec((PAD + 1, d), lambda b, t: (0, 0)),
+            pl.BlockSpec((1, d), lambda b, t: (0, 0)),
+            pl.BlockSpec((1, d), lambda b, t: (0, 0)),
+            pl.BlockSpec((1, d), lambda b, t: (0, 0)),
+            pl.BlockSpec((1, d), lambda b, t: (0, 0)),
+            pl.BlockSpec((1, d), lambda b, t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, T, d), lambda b, t: (b, t, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, L, d), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((T + 2 * HALO, d), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x_pad, z, y_f, y_b,
+      wf.astype(jnp.float32), bf.astype(jnp.float32)[None],
+      wb.astype(jnp.float32), bb.astype(jnp.float32)[None],
+      df.astype(jnp.float32)[None], db.astype(jnp.float32)[None],
+      lnw.astype(jnp.float32)[None], lnb.astype(jnp.float32)[None])
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16))
+def merge_gate(x, z, y_f, y_b, wf, bf, wb, bb, df, db, lnw, lnb,
+               rows, cols, eps=1e-5, use_norm=True, interpret=False):
+    return _merge_gate_fwd_impl(x, z, y_f, y_b, wf, bf, wb, bb, df, db,
+                                lnw, lnb, rows, cols, eps, use_norm,
+                                interpret)
+
+
+def _merge_vjp_fwd(x, z, y_f, y_b, wf, bf, wb, bb, df, db, lnw, lnb,
+                   rows, cols, eps, use_norm, interpret):
+    out = _merge_gate_fwd_impl(x, z, y_f, y_b, wf, bf, wb, bb, df, db,
+                               lnw, lnb, rows, cols, eps, use_norm,
+                               interpret)
+    return out, (x, z, y_f, y_b, wf, bf, wb, bb, df, db, lnw, lnb)
+
+
+def _merge_vjp_bwd(rows, cols, eps, use_norm, interpret, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: merge_gate_ref(*a, rows, cols, eps, use_norm), *res)
+    return vjp(g)
+
+
+merge_gate.defvjp(_merge_vjp_fwd, _merge_vjp_bwd)

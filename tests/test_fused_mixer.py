@@ -1,0 +1,67 @@
+"""Fused-kernel mixer path == XLA mixer path (same params)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastvim_tpu.models.mixer import MambaMixer
+
+
+@pytest.mark.parametrize("collapse", ["mean", "max"])
+def test_fused_equals_xla(collapse):
+    rows, cols, d_model = 8, 16, 32
+    L = rows * cols
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, L, d_model))
+    mix_x = MambaMixer(d_model=d_model, d_state=8, collapse_method=collapse,
+                       fused_kernels="never")
+    mix_f = MambaMixer(d_model=d_model, d_state=8, collapse_method=collapse,
+                       fused_kernels="always")
+    p = mix_x.init(jax.random.PRNGKey(1), x, (rows, cols))
+    y_x = mix_x.apply(p, x, (rows, cols))
+    y_f = mix_f.apply(p, x, (rows, cols))
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_x),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_fused_scaling_factor():
+    rows, cols, d_model = 4, 8, 32
+    L = rows * cols
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, L, d_model))
+    kw = dict(d_model=d_model, d_state=8, scaling_factor=0.25)
+    mix_x = MambaMixer(fused_kernels="never", **kw)
+    mix_f = MambaMixer(fused_kernels="always", **kw)
+    p = mix_x.init(jax.random.PRNGKey(3), x, (rows, cols))
+    np.testing.assert_allclose(
+        np.asarray(mix_f.apply(p, x, (rows, cols))),
+        np.asarray(mix_x.apply(p, x, (rows, cols))), rtol=1e-3, atol=1e-4)
+
+
+def test_fused_grads_match_xla():
+    rows, cols, d_model = 4, 8, 32
+    L = rows * cols
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, L, d_model))
+    mix_x = MambaMixer(d_model=d_model, d_state=8, fused_kernels="never")
+    mix_f = MambaMixer(d_model=d_model, d_state=8, fused_kernels="always")
+    p = mix_x.init(jax.random.PRNGKey(5), x, (rows, cols))
+
+    def loss(mix, p):
+        return jnp.sum(mix.apply(p, x, (rows, cols)) ** 2)
+
+    g_x = jax.grad(lambda p: loss(mix_x, p))(p)
+    g_f = jax.grad(lambda p: loss(mix_f, p))(p)
+    for a, b in zip(jax.tree_util.tree_leaves(g_x),
+                    jax.tree_util.tree_leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=1e-4)
+
+
+def test_fused_falls_back_on_unfusable_grid():
+    """cols not multiple of 8 (224px grids) → XLA path, still correct."""
+    rows, cols, d_model = 4, 6, 32
+    L = rows * cols
+    x = jax.random.normal(jax.random.PRNGKey(6), (1, L, d_model))
+    mix = MambaMixer(d_model=d_model, d_state=8, fused_kernels="auto")
+    p = mix.init(jax.random.PRNGKey(7), x, (rows, cols))
+    y = mix.apply(p, x, (rows, cols))
+    assert np.all(np.isfinite(np.asarray(y)))
