@@ -45,8 +45,18 @@ PAD = 3   # d_conv - 1 (the conv halo)
 HALO = 4  # per-side load halo, padded to keep DMA slices 8-aligned
 
 
+_SINGLE_TILE_VMEM = 4 * 1024 * 1024  # whole-sequence tile budget (bytes)
+
+
 def _pick_tile(rows: int, cols: int, d: int) -> int:
-    """rows_per_tile: divide rows targeting ~1024×384-equivalent tiles."""
+    """rows_per_tile: divide rows targeting ~1024×384-equivalent tiles.
+
+    When cols isn't a multiple of 8 (e.g. 224px grids, cols=14), tile
+    starts t·T wouldn't be 8-aligned for Mosaic DMA — use a single
+    whole-sequence tile instead (start 0, load size rounded up to 8).
+    """
+    if cols % 8 != 0:
+        return rows
     target = max(1, (1024 * 384) // max(cols * d, 1))
     rpt = 1
     for cand in range(1, rows + 1):
@@ -55,10 +65,17 @@ def _pick_tile(rows: int, cols: int, d: int) -> int:
     return rpt
 
 
-def fusable(rows: int, cols: int) -> bool:
-    """Mosaic DMA slices must be 8-aligned along the token dim: the fused
-    kernels need tile starts/sizes (multiples of cols) divisible by 8."""
-    return cols % 8 == 0 and rows >= 1
+def _round8(x: int) -> int:
+    return ((x + 7) // 8) * 8
+
+
+def fusable(rows: int, cols: int, d: int = 384,
+            itemsize: int = 2) -> bool:
+    """Aligned multi-tile grids always fuse; unaligned grids fuse only if
+    the whole sequence fits the single-tile VMEM budget."""
+    if cols % 8 == 0:
+        return True
+    return (rows * cols + 2 * HALO + 8) * d * itemsize <= _SINGLE_TILE_VMEM
 
 
 def _convs_from_padded(xb, wf, bf, wb, bb, T):
@@ -82,12 +99,12 @@ def _convs_from_padded(xb, wf, bf, wb, bb, T):
 
 
 def _conv_pool_kernel(x_hbm, wf, bf, wb, bb, pf_ref, pb_ref,
-                      xbuf, sem, *, T, rows_per_tile, cols, d,
+                      xbuf, sem, *, T, W, rows_per_tile, cols, d,
                       method, scaling):
     b = pl.program_id(0)
     t = pl.program_id(1)
     cp = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(t * T, T + 2 * HALO)], xbuf, sem)
+        x_hbm.at[b, pl.ds(t * T, W)], xbuf, sem)
     cp.start()
     cp.wait()
     xb = xbuf[...].astype(jnp.float32)
@@ -107,11 +124,11 @@ def _conv_pool_kernel(x_hbm, wf, bf, wb, bb, pf_ref, pb_ref,
 
 def _merge_kernel(x_hbm, z_ref, yf_ref, yb_ref, wf, bf, wb, bb,
                   df, db, lnw, lnb, out_ref, xbuf, sem, *,
-                  T, rows_per_tile, cols, d, eps, use_norm):
+                  T, W, rows_per_tile, cols, d, eps, use_norm):
     b = pl.program_id(0)
     t = pl.program_id(1)
     cp = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(t * T, T + 2 * HALO)], xbuf, sem)
+        x_hbm.at[b, pl.ds(t * T, W)], xbuf, sem)
     cp.start()
     cp.wait()
     xb = xbuf[...].astype(jnp.float32)
@@ -187,11 +204,14 @@ def _conv_pool_fwd_impl(x, wf, bf, wb, bb, rows, cols, method, scaling,
     assert L == rows * cols
     rpt = _pick_tile(rows, cols, d)
     T = rpt * cols
-    x_pad = jnp.pad(x, ((0, 0), (HALO, HALO), (0, 0)))
+    W = _round8(T + 2 * HALO)  # 8-aligned DMA load size
+    n_tiles = rows // rpt
+    pad_total = (n_tiles - 1) * T + W - L
+    x_pad = jnp.pad(x, ((0, 0), (HALO, pad_total - HALO), (0, 0)))
     kernel = functools.partial(
-        _conv_pool_kernel, T=T, rows_per_tile=rpt, cols=cols, d=d,
+        _conv_pool_kernel, T=T, W=W, rows_per_tile=rpt, cols=cols, d=d,
         method=method, scaling=scaling)
-    grid = (B, rows // rpt)
+    grid = (B, n_tiles)
     pf, pb = pl.pallas_call(
         kernel,
         grid=grid,
@@ -211,7 +231,7 @@ def _conv_pool_fwd_impl(x, wf, bf, wb, bb, rows, cols, method, scaling,
             jax.ShapeDtypeStruct((B, rows, d), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((T + 2 * HALO, d), x.dtype),
+            pltpu.VMEM((W, d), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -250,11 +270,14 @@ def _merge_gate_fwd_impl(x, z, y_f, y_b, wf, bf, wb, bb, df, db, lnw, lnb,
     B, L, d = x.shape
     rpt = _pick_tile(rows, cols, d)
     T = rpt * cols
-    x_pad = jnp.pad(x, ((0, 0), (HALO, HALO), (0, 0)))
+    W = _round8(T + 2 * HALO)
+    n_tiles = rows // rpt
+    pad_total = (n_tiles - 1) * T + W - L
+    x_pad = jnp.pad(x, ((0, 0), (HALO, pad_total - HALO), (0, 0)))
     kernel = functools.partial(
-        _merge_kernel, T=T, rows_per_tile=rpt, cols=cols, d=d, eps=eps,
-        use_norm=use_norm)
-    grid = (B, rows // rpt)
+        _merge_kernel, T=T, W=W, rows_per_tile=rpt, cols=cols, d=d,
+        eps=eps, use_norm=use_norm)
+    grid = (B, n_tiles)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -275,7 +298,7 @@ def _merge_gate_fwd_impl(x, z, y_f, y_b, wf, bf, wb, bb, df, db, lnw, lnb,
         out_specs=pl.BlockSpec((1, T, d), lambda b, t: (b, t, 0)),
         out_shape=jax.ShapeDtypeStruct((B, L, d), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((T + 2 * HALO, d), x.dtype),
+            pltpu.VMEM((W, d), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
