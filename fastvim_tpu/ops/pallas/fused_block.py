@@ -100,11 +100,14 @@ def _convs_from_padded(xb, wf, bf, wb, bb, T):
 
 def _conv_pool_kernel(x_hbm, wf, bf, wb, bb, pf_ref, pb_ref,
                       xbuf, sem, *, T, W, rows_per_tile, cols, d,
-                      method, scaling):
+                      method, scaling, single_tile):
     b = pl.program_id(0)
     t = pl.program_id(1)
+    # single-tile grids: static start 0 (Mosaic cannot prove t·T is
+    # 8-aligned for unaligned T even when the grid dim has size 1)
+    start = 0 if single_tile else t * T
     cp = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(t * T, W)], xbuf, sem)
+        x_hbm.at[b, pl.ds(start, W)], xbuf, sem)
     cp.start()
     cp.wait()
     xb = xbuf[...].astype(jnp.float32)
@@ -124,11 +127,13 @@ def _conv_pool_kernel(x_hbm, wf, bf, wb, bb, pf_ref, pb_ref,
 
 def _merge_kernel(x_hbm, z_ref, yf_ref, yb_ref, wf, bf, wb, bb,
                   df, db, lnw, lnb, out_ref, xbuf, sem, *,
-                  T, W, rows_per_tile, cols, d, eps, use_norm):
+                  T, W, rows_per_tile, cols, d, eps, use_norm,
+                  single_tile):
     b = pl.program_id(0)
     t = pl.program_id(1)
+    start = 0 if single_tile else t * T
     cp = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(t * T, W)], xbuf, sem)
+        x_hbm.at[b, pl.ds(start, W)], xbuf, sem)
     cp.start()
     cp.wait()
     xb = xbuf[...].astype(jnp.float32)
@@ -210,7 +215,7 @@ def _conv_pool_fwd_impl(x, wf, bf, wb, bb, rows, cols, method, scaling,
     x_pad = jnp.pad(x, ((0, 0), (HALO, pad_total - HALO), (0, 0)))
     kernel = functools.partial(
         _conv_pool_kernel, T=T, W=W, rows_per_tile=rpt, cols=cols, d=d,
-        method=method, scaling=scaling)
+        method=method, scaling=scaling, single_tile=(n_tiles == 1))
     grid = (B, n_tiles)
     pf, pb = pl.pallas_call(
         kernel,
@@ -276,7 +281,7 @@ def _merge_gate_fwd_impl(x, z, y_f, y_b, wf, bf, wb, bb, df, db, lnw, lnb,
     x_pad = jnp.pad(x, ((0, 0), (HALO, pad_total - HALO), (0, 0)))
     kernel = functools.partial(
         _merge_kernel, T=T, W=W, rows_per_tile=rpt, cols=cols, d=d,
-        eps=eps, use_norm=use_norm)
+        eps=eps, use_norm=use_norm, single_tile=(n_tiles == 1))
     grid = (B, n_tiles)
     out = pl.pallas_call(
         kernel,

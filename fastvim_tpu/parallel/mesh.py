@@ -23,6 +23,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 _MESH: Optional[Mesh] = None
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host init (the TPU-pod counterpart of the reference's
+    torch.distributed.launch env plumbing, detection/tools/dist_train.sh).
+    On TPU pods with a supported runtime, argument-free initialize()
+    auto-discovers the topology."""
+    try:
+        if coordinator_address is None:
+            jax.distributed.initialize()
+        else:
+            jax.distributed.initialize(coordinator_address, num_processes,
+                                       process_id)
+    except Exception as e:  # single-host / already-initialized
+        print(f"jax.distributed.initialize skipped: {e}")
+
+
 def make_mesh(data: Optional[int] = None, seq: int = 1,
               devices=None) -> Mesh:
     """Create (and cache) a ("data", "seq") mesh over available devices."""
