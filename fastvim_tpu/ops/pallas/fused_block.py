@@ -18,9 +18,12 @@ fwd_kernel.cuh:92):
   averages directions, LayerNorms (fp32 stats) and applies the
   silu(z) gate, writing only the merged (L, d) output.
 
-x is passed padded with ``d_conv-1 = 3`` zero tokens on each side so every
-tile's halo load is a plain dynamic slice. Tiles are whole grid rows
-(T = rows_per_tile·cols tokens) so pooling never crosses tiles.
+Tiles are whole grid rows (T = rows_per_tile·cols tokens) so pooling
+never crosses tiles. The conv's 3-token halo at tile boundaries comes
+from small precomputed halo arrays (B, n_tiles, 8, d) fed as ordinary
+pipelined BlockSpec inputs — Pallas double-buffers every input, so HBM
+loads overlap compute (a manual-DMA variant measured ~15% slower than
+pure XLA; this pipelined form is what makes the fusion pay).
 
 Gradients: custom VJP recomputes through the jnp reference implementations
 (`conv_pool_ref` / `merge_gate_ref`) — the fused kernels accelerate
@@ -41,23 +44,15 @@ from fastvim_tpu.ops.conv import anticausal_conv1d, causal_conv1d
 
 Array = jax.Array
 
-PAD = 3   # d_conv - 1 (the conv halo)
-HALO = 4  # per-side load halo, padded to keep DMA slices 8-aligned
+PAD = 3    # d_conv - 1 (the conv reach)
+HALO = 8   # tokens carried per side (8-aligned for clean VMEM concat)
 
-
-_SINGLE_TILE_VMEM = 4 * 1024 * 1024  # whole-sequence tile budget (bytes)
+_TILE_BUDGET = 2 * 1024 * 1024  # per-buffer VMEM target (bytes)
 
 
 def _pick_tile(rows: int, cols: int, d: int) -> int:
-    """rows_per_tile: divide rows targeting ~1024×384-equivalent tiles.
-
-    When cols isn't a multiple of 8 (e.g. 224px grids, cols=14), tile
-    starts t·T wouldn't be 8-aligned for Mosaic DMA — use a single
-    whole-sequence tile instead (start 0, load size rounded up to 8).
-    """
-    if cols % 8 != 0:
-        return rows
-    target = max(1, (1024 * 384) // max(cols * d, 1))
+    """rows_per_tile: largest divisor of rows with tile ≲ _TILE_BUDGET."""
+    target = max(1, _TILE_BUDGET // max(cols * d * 2, 1))
     rpt = 1
     for cand in range(1, rows + 1):
         if rows % cand == 0 and cand <= target:
@@ -65,31 +60,43 @@ def _pick_tile(rows: int, cols: int, d: int) -> int:
     return rpt
 
 
-def _round8(x: int) -> int:
-    return ((x + 7) // 8) * 8
-
-
 def fusable(rows: int, cols: int, d: int = 384,
             itemsize: int = 2) -> bool:
-    """Aligned multi-tile grids always fuse; unaligned grids fuse only if
-    the whole sequence fits the single-tile VMEM budget."""
-    if cols % 8 == 0:
-        return True
-    return (rows * cols + 2 * HALO + 8) * d * itemsize <= _SINGLE_TILE_VMEM
+    """The fused path needs one tile (≥1 row) to fit VMEM comfortably."""
+    return cols * d * itemsize <= _TILE_BUDGET
 
 
-def _convs_from_padded(xb, wf, bf, wb, bb, T):
-    """xb: (T+2·HALO, d) padded tile → causal & anticausal conv+SiLU,
-    each (T, d). Token i of the tile is xb[i+HALO]."""
+def _halo_arrays(x: Array, T: int, n_tiles: int) -> Tuple[Array, Array]:
+    """pre[b,t] = x[b, t·T-HALO : t·T] (zero-padded at the left edge);
+    post[b,t] = x[b, (t+1)·T : (t+1)·T+HALO] (zero-padded at the right).
+    Tiny gathers (B, n_tiles, HALO, d) built in XLA."""
+    B, L, d = x.shape
+    tiles = jnp.arange(n_tiles)
+    offs = jnp.arange(HALO)
+    idx_pre = tiles[:, None] * T - HALO + offs[None, :]
+    idx_post = (tiles[:, None] + 1) * T + offs[None, :]
+
+    def take(idx):
+        valid = (idx >= 0) & (idx < L)
+        safe = jnp.clip(idx, 0, L - 1)
+        vals = x[:, safe.reshape(-1), :].reshape(B, n_tiles, HALO, d)
+        return jnp.where(valid[None, :, :, None], vals, 0)
+
+    return take(idx_pre), take(idx_post)
+
+
+def _convs_from_tile(pre, xt, post, wf, bf, wb, bb, T):
+    """pre/post: (HALO, d); xt: (T, d) → causal & anticausal conv+SiLU,
+    each (T, d). Token i of the tile sits at index i+HALO of the
+    concatenated window."""
+    xb = jnp.concatenate([pre, xt, post], axis=0)  # (T+2·HALO, d)
     conv_f = None
     conv_b = None
     for k in range(PAD + 1):
-        # causal taps cover tokens i-3..i → xb offsets i+HALO-3+k
         seg_f = jax.lax.slice_in_dim(xb, HALO - PAD + k,
                                      HALO - PAD + k + T, axis=0)
         term_f = seg_f * wf[k][None, :]
         conv_f = term_f if conv_f is None else conv_f + term_f
-        # anticausal taps cover tokens i..i+3 → xb offsets i+HALO+k
         seg_b = jax.lax.slice_in_dim(xb, HALO + k, HALO + k + T, axis=0)
         term_b = seg_b * wb[PAD - k][None, :]
         conv_b = term_b if conv_b is None else conv_b + term_b
@@ -98,21 +105,14 @@ def _convs_from_padded(xb, wf, bf, wb, bb, T):
     return conv_f, conv_b
 
 
-def _conv_pool_kernel(x_hbm, wf, bf, wb, bb, pf_ref, pb_ref,
-                      xbuf, sem, *, T, W, rows_per_tile, cols, d,
-                      method, scaling, single_tile):
-    b = pl.program_id(0)
-    t = pl.program_id(1)
-    # single-tile grids: static start 0 (Mosaic cannot prove t·T is
-    # 8-aligned for unaligned T even when the grid dim has size 1)
-    start = 0 if single_tile else t * T
-    cp = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(start, W)], xbuf, sem)
-    cp.start()
-    cp.wait()
-    xb = xbuf[...].astype(jnp.float32)
-    conv_f, conv_b = _convs_from_padded(xb, wf[...], bf[0], wb[...],
-                                        bb[0], T)
+def _conv_pool_kernel(x_ref, pre_ref, post_ref, wf, bf, wb, bb,
+                      pf_ref, pb_ref, *, T, rows_per_tile, cols, d,
+                      method, scaling):
+    xt = x_ref[0].astype(jnp.float32)
+    pre = pre_ref[0, 0].astype(jnp.float32)
+    post = post_ref[0, 0].astype(jnp.float32)
+    conv_f, conv_b = _convs_from_tile(pre, xt, post, wf[...], bf[0],
+                                      wb[...], bb[0], T)
     cf = conv_f.reshape(rows_per_tile, cols, d)
     cb = conv_b.reshape(rows_per_tile, cols, d)
     if method == "mean":
@@ -125,23 +125,16 @@ def _conv_pool_kernel(x_hbm, wf, bf, wb, bb, pf_ref, pb_ref,
     pb_ref[0] = pb
 
 
-def _merge_kernel(x_hbm, z_ref, yf_ref, yb_ref, wf, bf, wb, bb,
-                  df, db, lnw, lnb, out_ref, xbuf, sem, *,
-                  T, W, rows_per_tile, cols, d, eps, use_norm,
-                  single_tile):
-    b = pl.program_id(0)
-    t = pl.program_id(1)
-    start = 0 if single_tile else t * T
-    cp = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(start, W)], xbuf, sem)
-    cp.start()
-    cp.wait()
-    xb = xbuf[...].astype(jnp.float32)
-    conv_f, conv_b = _convs_from_padded(xb, wf[...], bf[0], wb[...],
-                                        bb[0], T)
+def _merge_kernel(x_ref, pre_ref, post_ref, z_ref, yf_ref, yb_ref,
+                  wf, bf, wb, bb, df, db, lnw, lnb, out_ref, *,
+                  T, rows_per_tile, cols, d, eps, use_norm):
+    xt = x_ref[0].astype(jnp.float32)
+    pre = pre_ref[0, 0].astype(jnp.float32)
+    post = post_ref[0, 0].astype(jnp.float32)
+    conv_f, conv_b = _convs_from_tile(pre, xt, post, wf[...], bf[0],
+                                      wb[...], bb[0], T)
     yf = yf_ref[0].astype(jnp.float32)  # (rows_per_tile, d)
     yb = yb_ref[0].astype(jnp.float32)
-    # broadcast per-row scan outputs + D·conv skip, average directions
     cf = conv_f.reshape(rows_per_tile, cols, d)
     cb = conv_b.reshape(rows_per_tile, cols, d)
     m = (yf[:, None, :] + df[0][None, None, :] * cf
@@ -203,29 +196,35 @@ def merge_gate_ref(x, z, y_f, y_b, wf, bf, wb, bb, df, db, lnw, lnb,
 # public entry points with custom VJP
 # ---------------------------------------------------------------------------
 
+def _small_specs(d):
+    return [
+        pl.BlockSpec((PAD + 1, d), lambda b, t: (0, 0)),
+        pl.BlockSpec((1, d), lambda b, t: (0, 0)),
+        pl.BlockSpec((PAD + 1, d), lambda b, t: (0, 0)),
+        pl.BlockSpec((1, d), lambda b, t: (0, 0)),
+    ]
+
+
 def _conv_pool_fwd_impl(x, wf, bf, wb, bb, rows, cols, method, scaling,
                         interpret):
     B, L, d = x.shape
     assert L == rows * cols
     rpt = _pick_tile(rows, cols, d)
     T = rpt * cols
-    W = _round8(T + 2 * HALO)  # 8-aligned DMA load size
     n_tiles = rows // rpt
-    pad_total = (n_tiles - 1) * T + W - L
-    x_pad = jnp.pad(x, ((0, 0), (HALO, pad_total - HALO), (0, 0)))
+    pre, post = _halo_arrays(x, T, n_tiles)
     kernel = functools.partial(
-        _conv_pool_kernel, T=T, W=W, rows_per_tile=rpt, cols=cols, d=d,
-        method=method, scaling=scaling, single_tile=(n_tiles == 1))
+        _conv_pool_kernel, T=T, rows_per_tile=rpt, cols=cols, d=d,
+        method=method, scaling=scaling)
     grid = (B, n_tiles)
+    halo_spec = pl.BlockSpec((1, 1, HALO, d), lambda b, t: (b, t, 0, 0))
     pf, pb = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((PAD + 1, d), lambda b, t: (0, 0)),
-            pl.BlockSpec((1, d), lambda b, t: (0, 0)),
-            pl.BlockSpec((PAD + 1, d), lambda b, t: (0, 0)),
-            pl.BlockSpec((1, d), lambda b, t: (0, 0)),
+            pl.BlockSpec((1, T, d), lambda b, t: (b, t, 0)),
+            halo_spec, halo_spec,
+            *_small_specs(d),
         ],
         out_specs=(
             pl.BlockSpec((1, rpt, d), lambda b, t: (b, t, 0)),
@@ -235,12 +234,9 @@ def _conv_pool_fwd_impl(x, wf, bf, wb, bb, rows, cols, method, scaling,
             jax.ShapeDtypeStruct((B, rows, d), jnp.float32),
             jax.ShapeDtypeStruct((B, rows, d), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((W, d), x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
         interpret=interpret,
-    )(x_pad, wf.astype(jnp.float32), bf.astype(jnp.float32)[None],
+    )(x, pre, post,
+      wf.astype(jnp.float32), bf.astype(jnp.float32)[None],
       wb.astype(jnp.float32), bb.astype(jnp.float32)[None])
     return pf, pb
 
@@ -275,39 +271,30 @@ def _merge_gate_fwd_impl(x, z, y_f, y_b, wf, bf, wb, bb, df, db, lnw, lnb,
     B, L, d = x.shape
     rpt = _pick_tile(rows, cols, d)
     T = rpt * cols
-    W = _round8(T + 2 * HALO)
     n_tiles = rows // rpt
-    pad_total = (n_tiles - 1) * T + W - L
-    x_pad = jnp.pad(x, ((0, 0), (HALO, pad_total - HALO), (0, 0)))
+    pre, post = _halo_arrays(x, T, n_tiles)
     kernel = functools.partial(
-        _merge_kernel, T=T, W=W, rows_per_tile=rpt, cols=cols, d=d,
-        eps=eps, use_norm=use_norm, single_tile=(n_tiles == 1))
+        _merge_kernel, T=T, rows_per_tile=rpt, cols=cols, d=d, eps=eps,
+        use_norm=use_norm)
     grid = (B, n_tiles)
+    halo_spec = pl.BlockSpec((1, 1, HALO, d), lambda b, t: (b, t, 0, 0))
+    vec = pl.BlockSpec((1, d), lambda b, t: (0, 0))
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, T, d), lambda b, t: (b, t, 0)),
+            halo_spec, halo_spec,
             pl.BlockSpec((1, T, d), lambda b, t: (b, t, 0)),
             pl.BlockSpec((1, rpt, d), lambda b, t: (b, t, 0)),
             pl.BlockSpec((1, rpt, d), lambda b, t: (b, t, 0)),
-            pl.BlockSpec((PAD + 1, d), lambda b, t: (0, 0)),
-            pl.BlockSpec((1, d), lambda b, t: (0, 0)),
-            pl.BlockSpec((PAD + 1, d), lambda b, t: (0, 0)),
-            pl.BlockSpec((1, d), lambda b, t: (0, 0)),
-            pl.BlockSpec((1, d), lambda b, t: (0, 0)),
-            pl.BlockSpec((1, d), lambda b, t: (0, 0)),
-            pl.BlockSpec((1, d), lambda b, t: (0, 0)),
-            pl.BlockSpec((1, d), lambda b, t: (0, 0)),
+            *_small_specs(d),
+            vec, vec, vec, vec,
         ],
         out_specs=pl.BlockSpec((1, T, d), lambda b, t: (b, t, 0)),
         out_shape=jax.ShapeDtypeStruct((B, L, d), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((W, d), x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
         interpret=interpret,
-    )(x_pad, z, y_f, y_b,
+    )(x, pre, post, z, y_f, y_b,
       wf.astype(jnp.float32), bf.astype(jnp.float32)[None],
       wb.astype(jnp.float32), bb.astype(jnp.float32)[None],
       df.astype(jnp.float32)[None], db.astype(jnp.float32)[None],
