@@ -1,0 +1,34 @@
+"""Metric tests: mIoU vs hand computation, box IoU."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from fastvim_tpu.train.metrics import (
+    box_iou,
+    confusion_matrix,
+    miou_from_confusion,
+)
+
+
+def test_miou_perfect_and_mixed():
+    label = jnp.array([[0, 0, 1, 1], [2, 2, 255, 255]])
+    pred_perfect = jnp.where(label == 255, 0, label)
+    cm = confusion_matrix(pred_perfect, label, 3)
+    assert float(miou_from_confusion(cm)) == 1.0
+
+    pred = jnp.array([[0, 1, 1, 1], [2, 0, 0, 0]])
+    cm = confusion_matrix(pred, label, 3)
+    # class0: inter 1, union 1(gt)+? pred0 count among valid: positions
+    # (0,0) and (1,1): union = 2+2-1 = 3 → 1/3; class1: inter 2, union
+    # 3+2-2=3 → 2/3; class2: inter 1, union 2+1-1=2 → 1/2
+    want = (1 / 3 + 2 / 3 + 1 / 2) / 3
+    np.testing.assert_allclose(float(miou_from_confusion(cm)), want,
+                               rtol=1e-5)
+
+
+def test_box_iou():
+    a = jnp.array([[0, 0, 2, 2]], jnp.float32)
+    b = jnp.array([[1, 1, 3, 3], [0, 0, 2, 2]], jnp.float32)
+    iou = box_iou(a, b)
+    np.testing.assert_allclose(np.asarray(iou[0]), [1 / 7, 1.0],
+                               rtol=1e-5)
