@@ -47,7 +47,11 @@ Array = jax.Array
 PAD = 3    # d_conv - 1 (the conv reach)
 HALO = 8   # tokens carried per side (8-aligned for clean VMEM concat)
 
-_TILE_BUDGET = 2 * 1024 * 1024  # per-buffer VMEM target (bytes)
+# Per-input-tile byte target. The kernels hold several fp32 temporaries
+# of tile size (conv_f/conv_b/merged + the concat window), so the input
+# tile must stay small enough that ~6 fp32 copies + double-buffered
+# bf16 I/O fit the 16MB VMEM.
+_TILE_BUDGET = 512 * 1024
 
 
 def _pick_tile(rows: int, cols: int, d: int) -> int:
