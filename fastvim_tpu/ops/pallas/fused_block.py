@@ -47,27 +47,34 @@ Array = jax.Array
 PAD = 3    # d_conv - 1 (the conv reach)
 HALO = 8   # tokens carried per side (8-aligned for clean VMEM concat)
 
-# Per-input-tile byte target. The kernels hold several fp32 temporaries
-# of tile size (conv_f/conv_b/merged + the concat window), so the input
-# tile must stay small enough that ~6 fp32 copies + double-buffered
-# bf16 I/O fit the 16MB VMEM.
-_TILE_BUDGET = 512 * 1024
+# VMEM budget for the kernels' fp32 working set (~8 tile-sized
+# temporaries: concat window, conv accumulators, merged, gate, casts),
+# leaving room for double-buffered bf16 I/O under the 16MB VMEM.
+_FP32_WORK_BUDGET = 15 * 1024 * 1024
+_FP32_TEMPS = 6  # calibrated: T=2048,d=384 measured 17.1MB scoped
 
 
-def _pick_tile(rows: int, cols: int, d: int) -> int:
-    """rows_per_tile: largest divisor of rows with tile ≲ _TILE_BUDGET."""
-    target = max(1, _TILE_BUDGET // max(cols * d * 2, 1))
-    rpt = 1
-    for cand in range(1, rows + 1):
-        if rows % cand == 0 and cand <= target:
-            rpt = cand
-    return rpt
+def _fits(rpt: int, cols: int, d: int) -> bool:
+    return rpt * cols * d * 4 * _FP32_TEMPS <= _FP32_WORK_BUDGET
+
+
+def _pick_tile(rows: int, cols: int, d: int) -> Optional[int]:
+    """rows_per_tile: Mosaic requires the pooled-output block's sublane
+    dim to be a multiple of 8 or the full rows — so candidates are
+    multiple-of-8 divisors of rows, plus rows itself (single tile).
+    Pick the largest candidate whose fp32 working set fits VMEM."""
+    cands = [c for c in range(8, rows + 1, 8) if rows % c == 0]
+    fitting = [c for c in cands if _fits(c, cols, d)]
+    if fitting:
+        return max(fitting)
+    if _fits(rows, cols, d):
+        return rows  # single tile (covers small/unaligned grids)
+    return None  # even the smallest valid tile would blow VMEM
 
 
 def fusable(rows: int, cols: int, d: int = 384,
             itemsize: int = 2) -> bool:
-    """The fused path needs one tile (≥1 row) to fit VMEM comfortably."""
-    return cols * d * itemsize <= _TILE_BUDGET
+    return _pick_tile(rows, cols, d) is not None
 
 
 def _halo_arrays(x: Array, T: int, n_tiles: int) -> Tuple[Array, Array]:
