@@ -65,7 +65,11 @@ class MambaMixer(nn.Module):
     n_layer: int = 24
     norm_eps: float = 1e-5
     scan_impl: str = "auto"
-    fused_kernels: str = "auto"  # "auto" | "always" | "never"
+    # Fused Pallas block kernels: "never" (default — the XLA-fused path
+    # currently measures faster end-to-end; see CLAUDE.md), "auto"
+    # (enable on TPU where shapes allow), "always" (force, interpret off
+    # TPU — used by tests).
+    fused_kernels: str = "never"
     dtype: Any = jnp.float32
 
     @property
