@@ -162,14 +162,17 @@ def test_data_parallel_step_on_mesh():
                         weight_decay=0.05, params=params)
     step = make_supervised_train_step(model, 5, mixup_config=None,
                                       ema_decay=None)
-    # the train step donates its state: build a fresh one per call
+    # the train step donates its state (param buffers get consumed):
+    # deep-copy params into each fresh state
+    def fresh_state():
+        return TrainState.create(
+            jax.tree_util.tree_map(jnp.copy, params), tx, ema=False)
+
     batch = shard_batch({"image": x, "label": y}, mesh)
-    state2, metrics = step(TrainState.create(params, tx, ema=False),
-                           batch, jax.random.PRNGKey(0))
+    state2, metrics = step(fresh_state(), batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["train_loss"]))
     # params remain replicated and identical to an unsharded step
-    state3, metrics3 = step(TrainState.create(params, tx, ema=False),
-                            {"image": x, "label": y},
+    state3, metrics3 = step(fresh_state(), {"image": x, "label": y},
                             jax.random.PRNGKey(0))
     np.testing.assert_allclose(float(metrics["train_loss"]),
                                float(metrics3["train_loss"]), rtol=1e-4)
