@@ -105,7 +105,9 @@ class MambaMixer(nn.Module):
 
     def _use_fused(self, grid_shape, pool_axes, row_onehot) -> bool:
         """Fused Pallas block kernels: dense 2-D pooled path on TPU (or
-        forced), with Mosaic's 8-alignment satisfied."""
+        forced), with Mosaic's 8-alignment satisfied. Modes: "never",
+        "auto"/"always" (both kernels), "merge" (XLA conv+pool, Pallas
+        merge — the measured-fastest hybrid)."""
         if self.fused_kernels == "never" or row_onehot is not None:
             return False
         if self.collapse_method not in ("mean", "max"):
@@ -115,17 +117,23 @@ class MambaMixer(nn.Module):
         from fastvim_tpu.ops.pallas.fused_block import fusable
 
         rows, cols = grid_shape
-        if not fusable(rows, cols):
+        if not fusable(rows, cols, self.d_inner):
             return False
-        if self.fused_kernels == "always":
+        if self.fused_kernels in ("always", "merge"):
             return True
         return jax.default_backend() == "tpu"
 
     def _fused_forward(self, xin: Array, z: Array, fwd, bwd, grid_shape,
                        ln_w, ln_b) -> Array:
         """conv+pool and broadcast+skip+merge+LN+gate as fused Pallas
-        kernels; projections and the tiny row scans stay in XLA."""
-        from fastvim_tpu.ops.pallas.fused_block import conv_pool, merge_gate
+        kernels; projections and the tiny row scans stay in XLA. In
+        "merge" mode the conv+pool stage runs in XLA (conv_pool_ref) and
+        only the merge kernel is Pallas."""
+        from fastvim_tpu.ops.pallas.fused_block import (
+            conv_pool,
+            conv_pool_ref,
+            merge_gate,
+        )
 
         rows, cols = grid_shape
         d_inner = self.d_inner
@@ -135,9 +143,14 @@ class MambaMixer(nn.Module):
         zeros = jnp.zeros((d_inner,), jnp.float32)
         bf_ = zeros if bf_ is None else bf_
         bb_ = zeros if bb_ is None else bb_
-        pf, pb = conv_pool(xin, fwd[0], bf_, bwd[0], bb_, rows, cols,
-                           self.collapse_method, self.scaling_factor,
-                           interpret)
+        if self.fused_kernels == "merge":
+            pf, pb = conv_pool_ref(xin, fwd[0], bf_, bwd[0], bb_, rows,
+                                   cols, self.collapse_method,
+                                   self.scaling_factor)
+        else:
+            pf, pb = conv_pool(xin, fwd[0], bf_, bwd[0], bb_, rows, cols,
+                               self.collapse_method, self.scaling_factor,
+                               interpret)
         y_f = self._proj_scan(pf, fwd, scan_reverse=False)
         y_b = self._proj_scan(pb, bwd, scan_reverse=True)
         lw = jnp.ones((d_inner,), jnp.float32) if ln_w is None else ln_w

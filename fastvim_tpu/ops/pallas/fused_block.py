@@ -38,7 +38,6 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from fastvim_tpu.ops.conv import anticausal_conv1d, causal_conv1d
 
