@@ -19,16 +19,23 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
-def _norm(x32: Array, weight: Array, bias: Optional[Array], eps: float,
+def _norm(x: Array, weight: Array, bias: Optional[Array], eps: float,
           rms: bool) -> Array:
+    """Normalize with fp32 statistics without materializing an fp32 copy
+    of x: reductions accumulate in fp32 (one fused pass computes both
+    moments — E[x²]−E[x]², the same single-pass trick the reference
+    Triton kernel uses), and the per-element fp32 upcast fuses into the
+    output pipeline."""
     if rms:
-        var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
-        y = x32 * jax.lax.rsqrt(var + eps)
+        var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1,
+                       keepdims=True)
+        y = x.astype(jnp.float32) * jax.lax.rsqrt(var + eps)
     else:
+        x32 = x.astype(jnp.float32)
         mean = jnp.mean(x32, axis=-1, keepdims=True)
-        xc = x32 - mean
-        var = jnp.mean(jnp.square(xc), axis=-1, keepdims=True)
-        y = xc * jax.lax.rsqrt(var + eps)
+        mean2 = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+        var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+        y = (x32 - mean) * jax.lax.rsqrt(var + eps)
     y = y * weight.astype(jnp.float32)
     if bias is not None:
         y = y + bias.astype(jnp.float32)
