@@ -154,6 +154,10 @@ class MaskedAutoencoderVim(nn.Module):
     scanpath_type: str = "rowwise"
     rotate_every_block: bool = True
     collapse_method: str = "mean"
+    encoder_type: str = "fastvim"  # "fastvim" (masked pooled mixer) |
+    # "vim" (plain non-pooled blocks over the visible subsequence — the
+    # Vim-MAE baseline, models/mae/fastvim_mae.py; its mid-sequence cls
+    # token is omitted here, the decoder path is identical)
     scan_impl: str = "auto"
     remat: bool = False  # rematerialize encoder blocks (Huge-scale)
     dtype: Any = jnp.float32
@@ -213,19 +217,36 @@ class MaskedAutoencoderVim(nn.Module):
             scan_impl=self.scan_impl,
             **(self.ssm_cfg or {}),
         )
-        block_cls = (nn.remat(BlockMasked, static_argnums=(4,))
-                     if self.remat else BlockMasked)
         hidden, residual = visible, None
-        for i in range(self.depth):
-            hidden, residual = block_cls(
-                dim=self.embed_dim, layer_idx=i, token_size=(rows, cols),
-                mixer_kwargs=mixer_kwargs,
-                rotate_every_block=self.rotate_every_block,
-                rms_norm=self.rms_norm,
-                residual_in_fp32=self.residual_in_fp32,
-                norm_eps=self.norm_epsilon, dtype=self.dtype,
-                name=f"layers_{i}",
-            )(hidden, residual, ids_keep, deterministic)
+        if self.encoder_type == "vim":
+            # Vim-MAE baseline: plain full-scan blocks over the visible
+            # subsequence (no pooling, no ids plumbing)
+            vim_kwargs = dict(mixer_kwargs)
+            vim_kwargs["collapse_method"] = "none"
+            block_cls = (nn.remat(Block, static_argnums=(3,))
+                         if self.remat else Block)
+            for i in range(self.depth):
+                hidden, residual = block_cls(
+                    dim=self.embed_dim, layer_idx=i,
+                    token_size=(len_keep, 1), mixer_kwargs=vim_kwargs,
+                    rotate_every_block=False, rms_norm=self.rms_norm,
+                    residual_in_fp32=self.residual_in_fp32,
+                    norm_eps=self.norm_epsilon, dtype=self.dtype,
+                    name=f"layers_{i}",
+                )(hidden, residual, deterministic)
+        else:
+            block_cls = (nn.remat(BlockMasked, static_argnums=(4,))
+                         if self.remat else BlockMasked)
+            for i in range(self.depth):
+                hidden, residual = block_cls(
+                    dim=self.embed_dim, layer_idx=i,
+                    token_size=(rows, cols), mixer_kwargs=mixer_kwargs,
+                    rotate_every_block=self.rotate_every_block,
+                    rms_norm=self.rms_norm,
+                    residual_in_fp32=self.residual_in_fp32,
+                    norm_eps=self.norm_epsilon, dtype=self.dtype,
+                    name=f"layers_{i}",
+                )(hidden, residual, ids_keep, deterministic)
 
         w = self.param("norm_f_weight", nn.initializers.ones,
                        (self.embed_dim,))
@@ -300,12 +321,12 @@ class MaskedAutoencoderVim(nn.Module):
         return jnp.sum(per_patch * mask) / jnp.sum(mask)
 
 
-def _mae_factory(embed_dim, depth, patch_size):
+def _mae_factory(embed_dim, depth, patch_size, encoder_type="fastvim"):
     def factory(img_size=224, **kwargs):
         cfg = dict(img_size=img_size, patch_size=patch_size,
                    embed_dim=embed_dim, depth=depth, decoder_embed_dim=512,
                    decoder_depth=2, rms_norm=True, residual_in_fp32=True,
-                   fused_add_norm=True)
+                   fused_add_norm=True, encoder_type=encoder_type)
         cfg.update(kwargs)
         return MaskedAutoencoderVim(**cfg)
     return factory
@@ -317,4 +338,8 @@ MAE_MODELS = {
     "mae_FastVim_huge_dec512d2b": _mae_factory(1280, 64, 14),
     "mae_FastVim_tiny_dec512d2b": _mae_factory(192, 24, 16),
     "mae_FastVim_small_dec512d2b": _mae_factory(384, 24, 16),
+    # Vim-MAE baselines (models/mae/fastvim_mae.py:713-767)
+    "mae_vim_base_dec512d2b": _mae_factory(768, 24, 16, "vim"),
+    "mae_vim_large_dec512d2b": _mae_factory(1024, 48, 16, "vim"),
+    "mae_vim_huge_dec512d2b": _mae_factory(1280, 64, 14, "vim"),
 }
