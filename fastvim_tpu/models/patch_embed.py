@@ -20,6 +20,29 @@ from flax import linen as nn
 Array = jax.Array
 
 
+class _PatchProj(nn.Module):
+    """Stride-p patchify via reshape + GEMM, with conv-shaped params."""
+
+    embed_dim: int
+    patch: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, gh: int, gw: int) -> Array:
+        B, H, W, C = x.shape
+        p = self.patch
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (p, p, C, self.embed_dim))
+        bias = self.param("bias", nn.initializers.zeros, (self.embed_dim,))
+        patches = x.reshape(B, gh, p, gw, p, C)
+        patches = patches.transpose(0, 1, 3, 2, 4, 5)  # B gh gw p p C
+        patches = patches.reshape(B, gh, gw, p * p * C)
+        w = kernel.reshape(p * p * C, self.embed_dim).astype(self.dtype)
+        y = jnp.dot(patches.astype(self.dtype), w,
+                    preferred_element_type=self.dtype)
+        return y + bias.astype(self.dtype)[None, None, None]
+
+
 class PatchEmbed(nn.Module):
     patch_size: int = 16
     embed_dim: int = 768
@@ -41,10 +64,15 @@ class PatchEmbed(nn.Module):
                 H, W = H + pad_h, W + pad_w
         else:
             assert H % p == 0 and W % p == 0, (H, W, p)
-        x = nn.Conv(self.embed_dim, kernel_size=(p, p), strides=(p, p),
-                    kernel_init=nn.initializers.lecun_normal(),
-                    dtype=self.dtype, name="proj")(x)
+        # Patchify as space-to-depth + one MXU GEMM instead of a strided
+        # conv: stride-p convs trigger an input layout copy on TPU
+        # (profiled ~1ms at 2048px); the reshape path is mathematically
+        # identical and layout-free. Params keep nn.Conv's exact
+        # shape/naming (proj/kernel (p,p,C,D), proj/bias) for checkpoint
+        # compatibility.
         gh, gw = H // p, W // p
+        x = _PatchProj(self.embed_dim, p, dtype=self.dtype,
+                       name="proj")(x, gh, gw)
         if self.scanpath_type == "colwise":
             x = x.transpose(0, 2, 1, 3)
             rows, cols = gw, gh
