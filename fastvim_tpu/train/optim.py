@@ -142,6 +142,14 @@ def make_sgd(lr_schedule: Callable, momentum: float = 0.9,
     return optax.chain(*chain)
 
 
+def make_lars(lr_schedule: Callable, momentum: float = 0.9,
+              weight_decay: float = 0.0) -> optax.GradientTransformation:
+    """LARS — the reference ships it for the linear probe but leaves it
+    commented out (mae/lars.py, linear_imagenet.py)."""
+    return optax.lars(lr_schedule, weight_decay=weight_decay,
+                      momentum=momentum)
+
+
 def ema_update(ema_params, params, decay: float = 0.9999):
     """One EMA step (timm ModelEmaV2: ema ← d·ema + (1−d)·p)."""
     return jax.tree_util.tree_map(
