@@ -64,7 +64,7 @@ def throughput(model_name, img_size, batch, n1=4, n2=12,
 
 def main():
     results = {}
-    b224, b2048 = 64, 4
+    b224, b2048 = 64, 8
     results["fastvim_t_224_img_s"] = throughput("fastvim_tiny", 224, b224)
     results["fastvim_t_2048_img_s"] = throughput("fastvim_tiny", 2048, b2048)
     try:
