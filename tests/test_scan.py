@@ -196,6 +196,17 @@ def test_reverse_scan_equals_flip_scan_flip(impl):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_pallas_reverse_wrap():
+    u, delta, A, B, C, D, z, bias = make_inputs(
+        jax.random.PRNGKey(9), 1, 32, 128, 8)
+    ref = selective_scan_ref(u, delta, A, B, C, D=D, delta_bias=bias,
+                             delta_softplus=True, reverse=True)
+    got = selective_scan(u, delta, A, B, C, D=D, delta_bias=bias,
+                         delta_softplus=True, impl="pallas", reverse=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_anticausal_conv_equals_flip_conv_flip():
     from fastvim_tpu.ops.conv import anticausal_conv1d, causal_conv1d
 
