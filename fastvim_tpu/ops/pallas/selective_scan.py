@@ -85,6 +85,106 @@ def _scan_kernel(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
     out_ref[0] = y.astype(out_ref.dtype)
 
 
+def _scan_kernel_lanes(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
+                       out_ref, state_ref, *, delta_softplus: bool,
+                       block_l: int):
+    """Lane-major variant: inputs pre-transposed so the TIME dim rides the
+    lane dimension — the log-depth doubling scan becomes lane rolls
+    (native register rotates) instead of sublane concat/slice relayouts.
+
+    u/dt blocks: (1, BD, BL); B/C blocks: (1, n, BL); A: (n, BD);
+    out: (1, BD, BL); carried state: (n, BD)."""
+    lchunk = pl.program_id(2)
+
+    @pl.when(lchunk == 0)
+    def _():
+        state_ref[...] = jnp.zeros_like(state_ref)
+
+    u = u_ref[0].astype(jnp.float32)          # (BD, BL)
+    delta = dt_ref[0].astype(jnp.float32)     # (BD, BL)
+    delta = delta + bias_ref[...]             # (BD, 1) broadcasts
+    if delta_softplus:
+        delta = jax.nn.softplus(delta)
+    A = A_ref[...]                            # (n, BD)
+    Bm = B_ref[0].astype(jnp.float32)         # (n, BL)
+    Cm = C_ref[0].astype(jnp.float32)         # (n, BL)
+
+    a = jnp.exp(delta[None, :, :] * A[:, :, None])        # (n, BD, BL)
+    b = (delta * u)[None, :, :] * Bm[:, None, :]          # (n, BD, BL)
+
+    n, bd = A.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, block_l), 2)
+    shift = 1
+    while shift < block_l:
+        a_sh = pltpu.roll(a, shift, axis=2)
+        b_sh = pltpu.roll(b, shift, axis=2)
+        mask = lane >= shift
+        b = b + jnp.where(mask, a * b_sh, 0.0)
+        a = a * jnp.where(mask, a_sh, 1.0)
+        shift *= 2
+
+    h = b + a * state_ref[...][:, :, None]                # (n, BD, BL)
+    state_ref[...] = jax.lax.slice_in_dim(
+        h, block_l - 1, block_l, axis=2)[:, :, 0]
+
+    y = jnp.sum(h * Cm[:, None, :], axis=0)               # (BD, BL)
+    y = y + D_ref[...] * u                                # (BD, 1) bcast
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+def _pallas_fwd_lanes(u, delta, A, B, C, D, delta_bias, delta_softplus,
+                      block_l: int, block_d: int, interpret: bool):
+    """Lane-major launcher: transposes to (B, D, L)/(B, n, L) in XLA (one
+    pass over HBM) and runs the roll-based kernel."""
+    batch, L, d = u.shape
+    n = A.shape[1]
+    orig_L = L
+    pad = (-L) % block_l
+    if pad:
+        u = jnp.pad(u, ((0, 0), (0, pad), (0, 0)))
+        delta = jnp.pad(delta, ((0, 0), (0, pad), (0, 0)))
+        B = jnp.pad(B, ((0, 0), (0, pad), (0, 0)))
+        C = jnp.pad(C, ((0, 0), (0, pad), (0, 0)))
+        L += pad
+    assert d % block_d == 0, (d, block_d)
+
+    u_t = jnp.swapaxes(u, 1, 2)          # (B, D, L)
+    dt_t = jnp.swapaxes(delta, 1, 2)
+    B_t = jnp.swapaxes(B, 1, 2)          # (B, n, L)
+    C_t = jnp.swapaxes(C, 1, 2)
+    A_t = A.astype(jnp.float32).T        # (n, d)
+    bias = (delta_bias if delta_bias is not None
+            else jnp.zeros((d,))).astype(jnp.float32)[:, None]  # (d, 1)
+    Dp = (D if D is not None else jnp.zeros((d,))).astype(
+        jnp.float32)[:, None]
+
+    grid = (batch, d // block_d, L // block_l)
+    kernel = functools.partial(
+        _scan_kernel_lanes, delta_softplus=delta_softplus, block_l=block_l)
+    out_t = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_d, block_l), lambda b, j, l: (b, j, l)),
+            pl.BlockSpec((1, block_d, block_l), lambda b, j, l: (b, j, l)),
+            pl.BlockSpec((1, n, block_l), lambda b, j, l: (b, 0, l)),
+            pl.BlockSpec((1, n, block_l), lambda b, j, l: (b, 0, l)),
+            pl.BlockSpec((n, block_d), lambda b, j, l: (0, j)),
+            pl.BlockSpec((block_d, 1), lambda b, j, l: (j, 0)),
+            pl.BlockSpec((block_d, 1), lambda b, j, l: (j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_d, block_l),
+                               lambda b, j, l: (b, j, l)),
+        out_shape=jax.ShapeDtypeStruct((batch, d, L), u.dtype),
+        scratch_shapes=[pltpu.VMEM((n, block_d), jnp.float32)],
+        interpret=interpret,
+    )(u_t, dt_t, B_t, C_t, A_t, bias, Dp)
+    out = jnp.swapaxes(out_t, 1, 2)
+    if pad:
+        out = out[:, :orig_L]
+    return out
+
+
 def _pallas_fwd(u, delta, A, B, C, D, delta_bias, delta_softplus,
                 block_l: int, block_d: int, interpret: bool):
     batch, L, d = u.shape
@@ -132,21 +232,24 @@ def _pallas_fwd(u, delta, A, B, C, D, delta_bias, delta_softplus,
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def _selective_scan_pallas(u, delta, A, B, C, D, delta_bias,
-                           delta_softplus, block_l, block_d, interpret):
-    return _pallas_fwd(u, delta, A, B, C, D, delta_bias, delta_softplus,
-                       block_l, block_d, interpret)
+                           delta_softplus, block_l, block_d, interpret,
+                           variant="sublane"):
+    impl = _pallas_fwd_lanes if variant == "lanes" else _pallas_fwd
+    return impl(u, delta, A, B, C, D, delta_bias, delta_softplus,
+                block_l, block_d, interpret)
 
 
 def _fwd(u, delta, A, B, C, D, delta_bias, delta_softplus, block_l, block_d,
-         interpret):
-    out = _pallas_fwd(u, delta, A, B, C, D, delta_bias, delta_softplus,
-                      block_l, block_d, interpret)
+         interpret, variant="sublane"):
+    impl = _pallas_fwd_lanes if variant == "lanes" else _pallas_fwd
+    out = impl(u, delta, A, B, C, D, delta_bias, delta_softplus,
+               block_l, block_d, interpret)
     return out, (u, delta, A, B, C, D, delta_bias)
 
 
-def _bwd(delta_softplus, block_l, block_d, interpret, res, g):
+def _bwd(delta_softplus, block_l, block_d, interpret, variant, res, g):
     u, delta, A, B, C, D, delta_bias = res
     has_D = D is not None
     has_bias = delta_bias is not None
@@ -175,11 +278,16 @@ def selective_scan_pallas(
     delta_softplus: bool = False,
     block_l: int = 128, block_d: int = 128,
     interpret: Optional[bool] = None,
+    variant: str = "sublane",
 ) -> Array:
     """Fused TPU scan. u/delta (batch, L, d); B/C (batch, L, n) variable.
 
     Same contract as `selective_scan_ref` restricted to variable B/C, no z
     gate, no last-state return (the FastVim/Vim vision paths).
+
+    variant="lanes": time-on-lanes layout with roll-based doubling scan
+    (avoids sublane-shift relayouts at the cost of one XLA transpose of
+    the inputs/outputs).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -187,4 +295,5 @@ def selective_scan_pallas(
     block_d = min(block_d, d)
     block_l = min(block_l, max(8, u.shape[1]))
     return _selective_scan_pallas(u, delta, A, B, C, D, delta_bias,
-                                  delta_softplus, block_l, block_d, interpret)
+                                  delta_softplus, block_l, block_d,
+                                  interpret, variant)
