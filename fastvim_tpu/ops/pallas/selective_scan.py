@@ -90,7 +90,11 @@ def _scan_kernel_lanes(u_ref, dt_ref, B_ref, C_ref, A_ref, bias_ref, D_ref,
                        block_l: int):
     """Lane-major variant: inputs pre-transposed so the TIME dim rides the
     lane dimension — the log-depth doubling scan becomes lane rolls
-    (native register rotates) instead of sublane concat/slice relayouts.
+    instead of sublane concat/slice relayouts.
+
+    MEASURED (v5e, L=16k, d=384): 3-4× SLOWER than the sublane variant —
+    lane rolls are cross-lane permutes, costlier than sublane shifts.
+    Kept as a documented negative result + coverage for pltpu.roll.
 
     u/dt blocks: (1, BD, BL); B/C blocks: (1, n, BL); A: (n, BD);
     out: (1, BD, BL); carried state: (n, BD)."""

@@ -230,3 +230,17 @@ def test_dispatch():
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_pallas_lanes_variant_matches_ref():
+    d, n = 256, 16
+    u, delta, A, B, C, D, z, bias = make_inputs(
+        jax.random.PRNGKey(11), 2, 300, d, n)
+    ref = selective_scan_ref(u, delta, A, B, C, D=D, delta_bias=bias,
+                             delta_softplus=True)
+    got = selective_scan_pallas(u, delta, A, B, C, D=D, delta_bias=bias,
+                                delta_softplus=True, block_l=128,
+                                block_d=128, interpret=True,
+                                variant="lanes")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
