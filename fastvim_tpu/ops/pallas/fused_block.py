@@ -97,40 +97,45 @@ def _halo_arrays(x: Array, T: int, n_tiles: int) -> Tuple[Array, Array]:
 
 def _convs_from_tile(pre, xt, post, wf, bf, wb, bb, T):
     """pre/post: (HALO, d); xt: (T, d) → causal & anticausal conv+SiLU,
-    each (T, d). Token i of the tile sits at index i+HALO of the
-    concatenated window."""
-    xb = jnp.concatenate([pre, xt, post], axis=0)  # (T+2·HALO, d)
+    each (T, d) in xt's dtype. Token i of the tile sits at index i+HALO
+    of the concatenated window. Compute stays in the input dtype (bf16
+    for the production path — same numerics as the XLA conv, and the
+    sublane-shift relayouts that dominate this kernel cost half as much
+    as in fp32)."""
+    dt = xt.dtype
+    xb = jnp.concatenate([pre.astype(dt), xt, post.astype(dt)], axis=0)
     conv_f = None
     conv_b = None
     for k in range(PAD + 1):
         seg_f = jax.lax.slice_in_dim(xb, HALO - PAD + k,
                                      HALO - PAD + k + T, axis=0)
-        term_f = seg_f * wf[k][None, :]
+        term_f = seg_f * wf[k][None, :].astype(dt)
         conv_f = term_f if conv_f is None else conv_f + term_f
         seg_b = jax.lax.slice_in_dim(xb, HALO + k, HALO + k + T, axis=0)
-        term_b = seg_b * wb[PAD - k][None, :]
+        term_b = seg_b * wb[PAD - k][None, :].astype(dt)
         conv_b = term_b if conv_b is None else conv_b + term_b
-    conv_f = jax.nn.silu(conv_f + bf[None, :])
-    conv_b = jax.nn.silu(conv_b + bb[None, :])
+    conv_f = jax.nn.silu(conv_f + bf[None, :].astype(dt))
+    conv_b = jax.nn.silu(conv_b + bb[None, :].astype(dt))
     return conv_f, conv_b
 
 
 def _conv_pool_kernel(x_ref, pre_ref, post_ref, wf, bf, wb, bb,
                       pf_ref, pb_ref, *, T, rows_per_tile, cols, d,
                       method, scaling):
-    xt = x_ref[0].astype(jnp.float32)
-    pre = pre_ref[0, 0].astype(jnp.float32)
-    post = post_ref[0, 0].astype(jnp.float32)
+    xt = x_ref[0]
+    pre = pre_ref[0, 0]
+    post = post_ref[0, 0]
     conv_f, conv_b = _convs_from_tile(pre, xt, post, wf[...], bf[0],
                                       wb[...], bb[0], T)
     cf = conv_f.reshape(rows_per_tile, cols, d)
     cb = conv_b.reshape(rows_per_tile, cols, d)
     if method == "mean":
-        pf = jnp.mean(cf, axis=1) * scaling
-        pb = jnp.mean(cb, axis=1) * scaling
+        # fp32 accumulation over the pooled axis
+        pf = jnp.mean(cf.astype(jnp.float32), axis=1) * scaling
+        pb = jnp.mean(cb.astype(jnp.float32), axis=1) * scaling
     else:
-        pf = jnp.max(cf, axis=1)
-        pb = jnp.max(cb, axis=1)
+        pf = jnp.max(cf, axis=1).astype(jnp.float32)
+        pb = jnp.max(cb, axis=1).astype(jnp.float32)
     pf_ref[0] = pf
     pb_ref[0] = pb
 
@@ -138,25 +143,32 @@ def _conv_pool_kernel(x_ref, pre_ref, post_ref, wf, bf, wb, bb,
 def _merge_kernel(x_ref, pre_ref, post_ref, z_ref, yf_ref, yb_ref,
                   wf, bf, wb, bb, df, db, lnw, lnb, out_ref, *,
                   T, rows_per_tile, cols, d, eps, use_norm):
-    xt = x_ref[0].astype(jnp.float32)
-    pre = pre_ref[0, 0].astype(jnp.float32)
-    post = post_ref[0, 0].astype(jnp.float32)
+    xt = x_ref[0]
+    dt = xt.dtype
+    pre = pre_ref[0, 0]
+    post = post_ref[0, 0]
     conv_f, conv_b = _convs_from_tile(pre, xt, post, wf[...], bf[0],
                                       wb[...], bb[0], T)
-    yf = yf_ref[0].astype(jnp.float32)  # (rows_per_tile, d)
-    yb = yb_ref[0].astype(jnp.float32)
+    yf = yf_ref[0].astype(dt)  # (rows_per_tile, d)
+    yb = yb_ref[0].astype(dt)
     cf = conv_f.reshape(rows_per_tile, cols, d)
     cb = conv_b.reshape(rows_per_tile, cols, d)
-    m = (yf[:, None, :] + df[0][None, None, :] * cf
-         + yb[:, None, :] + db[0][None, None, :] * cb) * 0.5
+    m = (yf[:, None, :] + df[0][None, None, :].astype(dt) * cf
+         + yb[:, None, :] + db[0][None, None, :].astype(dt) * cb) \
+        * jnp.asarray(0.5, dt)
     m = m.reshape(T, d)
     if use_norm:
-        mu = jnp.mean(m, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(m - mu), axis=-1, keepdims=True)
-        m = (m - mu) * jax.lax.rsqrt(var + eps)
-        m = m * lnw[0][None, :] + lnb[0][None, :]
-    z = z_ref[0].astype(jnp.float32)
-    out_ref[0] = (m * jax.nn.silu(z)).astype(out_ref.dtype)
+        # fp32 statistics without materializing an fp32 copy of m
+        m32 = m.astype(jnp.float32)
+        mu = jnp.mean(m32, axis=-1, keepdims=True)
+        mean2 = jnp.mean(jnp.square(m32), axis=-1, keepdims=True)
+        var = jnp.maximum(mean2 - jnp.square(mu), 0.0)
+        m32 = (m32 - mu) * jax.lax.rsqrt(var + eps)
+        m32 = m32 * lnw[0][None, :] + lnb[0][None, :]
+        out = m32.astype(dt) * jax.nn.silu(z_ref[0])
+    else:
+        out = m * jax.nn.silu(z_ref[0])
+    out_ref[0] = out.astype(out_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
