@@ -153,21 +153,26 @@ def _merge_kernel(x_ref, pre_ref, post_ref, z_ref, yf_ref, yb_ref,
     yb = yb_ref[0].astype(dt)
     cf = conv_f.reshape(rows_per_tile, cols, d)
     cb = conv_b.reshape(rows_per_tile, cols, d)
+    # NOTE: the direction average's ÷2 is deferred — LayerNorm is
+    # scale-invariant so the normed path never needs it (only eps shifts
+    # by 4×, matched below); the un-normed path applies it in fp32
+    # (Mosaic rejects bf16-scalar broadcasts).
     m = (yf[:, None, :] + df[0][None, None, :].astype(dt) * cf
-         + yb[:, None, :] + db[0][None, None, :].astype(dt) * cb) \
-        * jnp.asarray(0.5, dt)
+         + yb[:, None, :] + db[0][None, None, :].astype(dt) * cb)
     m = m.reshape(T, d)
     if use_norm:
-        # fp32 statistics without materializing an fp32 copy of m
+        # fp32 statistics without materializing an fp32 copy of m;
+        # stats of 2·x with eps·4 ≙ stats of x with eps
         m32 = m.astype(jnp.float32)
         mu = jnp.mean(m32, axis=-1, keepdims=True)
         mean2 = jnp.mean(jnp.square(m32), axis=-1, keepdims=True)
         var = jnp.maximum(mean2 - jnp.square(mu), 0.0)
-        m32 = (m32 - mu) * jax.lax.rsqrt(var + eps)
+        m32 = (m32 - mu) * jax.lax.rsqrt(var + 4.0 * eps)
         m32 = m32 * lnw[0][None, :] + lnb[0][None, :]
         out = m32.astype(dt) * jax.nn.silu(z_ref[0])
     else:
-        out = m * jax.nn.silu(z_ref[0])
+        out = (m.astype(jnp.float32) * 0.5).astype(dt) \
+            * jax.nn.silu(z_ref[0])
     out_ref[0] = out.astype(out_ref.dtype)
 
 
