@@ -43,6 +43,14 @@ from fastvim_tpu.ops.conv import anticausal_conv1d, causal_conv1d
 
 Array = jax.Array
 
+def _silu(v):
+    """silu without scalar constants: jax.nn.silu's sigmoid lowers with
+    weak-f32 scalars that Mosaic's bf16 vector.broadcast verifier
+    rejects; v/(1+e^-v) with a ones_like keeps every operand a full
+    vector of v's dtype."""
+    return v / (jnp.ones_like(v) + jnp.exp(-v))
+
+
 PAD = 3    # d_conv - 1 (the conv reach)
 HALO = 8   # tokens carried per side (8-aligned for clean VMEM concat)
 
@@ -114,8 +122,8 @@ def _convs_from_tile(pre, xt, post, wf, bf, wb, bb, T):
         seg_b = jax.lax.slice_in_dim(xb, HALO + k, HALO + k + T, axis=0)
         term_b = seg_b * wb[PAD - k][None, :].astype(dt)
         conv_b = term_b if conv_b is None else conv_b + term_b
-    conv_f = jax.nn.silu(conv_f + bf[None, :].astype(dt))
-    conv_b = jax.nn.silu(conv_b + bb[None, :].astype(dt))
+    conv_f = _silu(conv_f + bf[None, :].astype(dt))
+    conv_b = _silu(conv_b + bb[None, :].astype(dt))
     return conv_f, conv_b
 
 
@@ -169,10 +177,10 @@ def _merge_kernel(x_ref, pre_ref, post_ref, z_ref, yf_ref, yb_ref,
         var = jnp.maximum(mean2 - jnp.square(mu), 0.0)
         m32 = (m32 - mu) * jax.lax.rsqrt(var + 4.0 * eps)
         m32 = m32 * lnw[0][None, :] + lnb[0][None, :]
-        out = m32.astype(dt) * jax.nn.silu(z_ref[0])
+        out = m32.astype(dt) * _silu(z_ref[0])
     else:
         out = (m.astype(jnp.float32) * 0.5).astype(dt) \
-            * jax.nn.silu(z_ref[0])
+            * _silu(z_ref[0])
     out_ref[0] = out.astype(out_ref.dtype)
 
 
