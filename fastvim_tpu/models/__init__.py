@@ -1,4 +1,7 @@
 from fastvim_tpu.models.blocks import Block, rotate_grid
+from fastvim_tpu.models.channel import ChannelVisionMamba
+from fastvim_tpu.models.heads import ChannelLayerNorm, SimpleFPN
+from fastvim_tpu.models.mae import MaskedAutoencoderVim
 from fastvim_tpu.models.mixer import MambaMixer
 from fastvim_tpu.models.patch_embed import PatchEmbed, resize_pos_embed
 from fastvim_tpu.models.registry import (
@@ -6,12 +9,20 @@ from fastvim_tpu.models.registry import (
     list_models,
     register_model,
 )
+from fastvim_tpu.models.upernet import FCNHead, UPerHead, UperNetSegmentor
 from fastvim_tpu.models.vision_mamba import VisionMamba
 
 __all__ = [
     "Block",
+    "ChannelLayerNorm",
+    "ChannelVisionMamba",
+    "FCNHead",
     "MambaMixer",
+    "MaskedAutoencoderVim",
     "PatchEmbed",
+    "SimpleFPN",
+    "UPerHead",
+    "UperNetSegmentor",
     "VisionMamba",
     "create_model",
     "list_models",
