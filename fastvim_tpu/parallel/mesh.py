@@ -48,7 +48,14 @@ def make_mesh(data: Optional[int] = None, seq: int = 1,
     n = len(devices)
     if data is None:
         data = n // seq
-    assert data * seq <= n, (data, seq, n)
+    if data * seq > n:
+        raise ValueError(
+            f"make_mesh(data={data}, seq={seq}) needs {data * seq} devices "
+            f"but only {n} are visible on platform "
+            f"'{jax.default_backend()}'. For a virtual multi-device CPU "
+            f"mesh, set XLA_FLAGS=--xla_force_host_platform_device_count="
+            f"{data * seq} and jax.config.update('jax_platforms','cpu') "
+            f"BEFORE jax backend init (see tests/conftest.py).")
     arr = np.asarray(devices[: data * seq]).reshape(data, seq)
     _MESH = Mesh(arr, ("data", "seq"))
     return _MESH
