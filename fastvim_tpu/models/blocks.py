@@ -51,6 +51,10 @@ class Block(nn.Module):
     pool_axes: Optional[Tuple[int, ...]] = None
     transpose_axes: Tuple[int, int] = (0, 1)
     rotate_every_block: bool = True
+    # Explicit per-layer rotate override (None → the default odd-layer
+    # schedule). The 2dcompress variant rotates on its own
+    # row→col→channel cycle ((i+2)%3==0, …_2dcompress.py:265-267).
+    rotate: Optional[bool] = None
     rms_norm: bool = True
     residual_in_fp32: bool = True
     norm_eps: float = 1e-5
@@ -71,7 +75,8 @@ class Block(nn.Module):
             rms=self.rms_norm, out_dtype=self.dtype)
 
         grid = tuple(self.token_size)
-        rotated = self.rotate_every_block and self.layer_idx % 2 != 0
+        rotated = (self.rotate if self.rotate is not None else
+                   self.rotate_every_block and self.layer_idx % 2 != 0)
         if rotated:
             hidden = rotate_grid(hidden, grid, self.transpose_axes)
             mixer_grid = _swapped(grid, self.transpose_axes)

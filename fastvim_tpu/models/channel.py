@@ -167,6 +167,7 @@ class ChannelVisionMamba(nn.Module):
 
         hidden, residual = tokens, None
         for i in range(self.depth):
+            rotate = None  # default odd-layer schedule
             if self.compress_2d:
                 assert self.scan_order == "Channel-First", (
                     "2dcompress implements Channel-First only "
@@ -175,6 +176,9 @@ class ChannelVisionMamba(nn.Module):
                     pool_axes = (0, 1)  # pool whole spatial grid → C scan
                 else:
                     pool_axes = (1, 2)  # pool cols·C → rows scan
+                # row→col→channel cycle: rotate only the middle layer of
+                # each triple (…_2dcompress.py:265-267)
+                rotate = (self.rotate_every_block and (i + 2) % 3 == 0)
             else:
                 if self.scan_order == "Channel-First":
                     pool_axes = (1,)  # pool cols of (rows, cols, C)
@@ -184,7 +188,7 @@ class ChannelVisionMamba(nn.Module):
                 dim=self.embed_dim, layer_idx=i, token_size=grid,
                 mixer_kwargs=mixer_kwargs, pool_axes=pool_axes,
                 transpose_axes=transpose_axes,
-                rotate_every_block=self.rotate_every_block,
+                rotate_every_block=self.rotate_every_block, rotate=rotate,
                 rms_norm=self.rms_norm,
                 residual_in_fp32=self.residual_in_fp32,
                 norm_eps=self.norm_epsilon, drop_path=inter_dpr[i],

@@ -54,19 +54,25 @@ def get_2d_sincos_pos_embed(embed_dim: int, grid_size: int) -> np.ndarray:
     grid_h = np.arange(grid_size, dtype=np.float64)
     grid_w = np.arange(grid_size, dtype=np.float64)
     gw, gh = np.meshgrid(grid_w, grid_h)  # gh varies over rows
-    emb_h = embed_1d(gh)
-    emb_w = embed_1d(gw)
-    return np.concatenate([emb_h, emb_w], axis=1).astype(np.float32)
+    # Reference order (models/mae/..._vimdecoder.py:42-50): the first
+    # half encodes grid[0] — the COLUMN coordinate (meshgrid 'xy' puts w
+    # first), the second half the row. Locked by test_torch_parity.
+    emb_col = embed_1d(gw)
+    emb_row = embed_1d(gh)
+    return np.concatenate([emb_col, emb_row], axis=1).astype(np.float32)
 
 
-def sorted_random_masking(rng: Array, batch: int, L: int, len_keep: int):
+def sorted_random_masking(rng: Array, batch: int, L: int, len_keep: int,
+                          noise: Optional[Array] = None):
     """Per-sample random masking with scan-order-preserving kept subset.
 
     Returns (ids_keep (batch, len_keep) ascending, mask (batch, L) with
     1=removed, ids_restore (batch, L)). Mirrors
-    models/mae/..._vimdecoder.py:738-772.
+    models/mae/..._vimdecoder.py:738-772. ``noise`` overrides the random
+    draw (parity tests inject the torch side's noise).
     """
-    noise = jax.random.uniform(rng, (batch, L))
+    if noise is None:
+        noise = jax.random.uniform(rng, (batch, L))
     ids_shuffle = jnp.argsort(noise, axis=1)
     kept_sorted = jnp.sort(ids_shuffle[:, :len_keep], axis=1)
     ids_shuffle = jnp.concatenate(
@@ -315,7 +321,9 @@ class MaskedAutoencoderVim(nn.Module):
         pred = pred.astype(jnp.float32)
         if self.norm_pix_loss:
             mean = target.mean(axis=-1, keepdims=True)
-            var = target.var(axis=-1, keepdims=True)
+            # unbiased variance — torch .var() default
+            # (models/mae/..._vimdecoder.py:870)
+            var = target.var(axis=-1, keepdims=True, ddof=1)
             target = (target - mean) / jnp.sqrt(var + 1e-6)
         per_patch = jnp.mean((pred - target) ** 2, axis=-1)
         return jnp.sum(per_patch * mask) / jnp.sum(mask)

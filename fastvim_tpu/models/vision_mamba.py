@@ -28,7 +28,8 @@ def trunc_normal_init(std: float = 0.02):
 
 
 class VisionMamba(nn.Module):
-    img_size: int = 224
+    img_size: Any = 224  # int or (H, W) — rect supported like the
+    # reference PatchEmbed's to_2tuple(img_size) (models/fastvim.py:42)
     patch_size: int = 16
     depth: int = 24
     embed_dim: int = 192
@@ -58,8 +59,12 @@ class VisionMamba(nn.Module):
 
     @property
     def grid_size(self) -> Tuple[int, int]:
-        g = self.img_size // self.patch_size
-        return (g, g)
+        """Token grid at the training resolution, in scan orientation
+        (colwise swaps, mirroring models/fastvim.py:46-58)."""
+        hw = (self.img_size if isinstance(self.img_size, (tuple, list))
+              else (self.img_size, self.img_size))
+        gh, gw = hw[0] // self.patch_size, hw[1] // self.patch_size
+        return (gw, gh) if self.scanpath_type == "colwise" else (gh, gw)
 
     @property
     def num_patches(self) -> int:
@@ -199,5 +204,4 @@ class VisionMamba(nn.Module):
         return logits
 
     def _train_grid(self) -> Tuple[int, int]:
-        g = self.img_size // self.patch_size
-        return (g, g)
+        return self.grid_size
