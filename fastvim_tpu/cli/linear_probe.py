@@ -22,16 +22,17 @@ from fastvim_tpu.cli.common import (
 class ProbeHead(nn.Module):
     """BatchNorm1d(affine=False) + Linear (mae/linear_imagenet.py:39-53).
 
-    BN runs in inference-style normalization using batch statistics during
-    training (the torch default train behavior)."""
+    Matches torch BN1d semantics: batch statistics (and a running-stats
+    EMA update) during training, running statistics at eval — so probe
+    accuracy is independent of the eval batch size."""
 
     num_classes: int
 
     @nn.compact
     def __call__(self, feats, train: bool = True):
-        mean = feats.mean(axis=0, keepdims=True)
-        var = feats.var(axis=0, keepdims=True)
-        normed = (feats - mean) / jnp.sqrt(var + 1e-6)
+        normed = nn.BatchNorm(
+            use_running_average=not train, use_bias=False, use_scale=False,
+            momentum=0.9, epsilon=1e-6, name="bn")(feats)
         return nn.Dense(self.num_classes,
                         kernel_init=nn.initializers.truncated_normal(0.01),
                         name="head")(normed)
@@ -91,14 +92,25 @@ def main(argv=None):
     def train_step(state, batch, rng):
         feats = jax.lax.stop_gradient(
             backbone.apply(bb_params, batch["image"], return_features=True))
+        bstats = state.params["batch_stats"]
 
         def loss_fn(p):
-            logits = head.apply(p, feats)
-            return cross_entropy(logits, batch["label"]), logits
+            logits, upd = head.apply(
+                {"params": p, "batch_stats": bstats}, feats, train=True,
+                mutable=["batch_stats"])
+            return cross_entropy(logits, batch["label"]), (
+                logits, upd["batch_stats"])
 
-        (loss, logits), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        (loss, (logits, new_bstats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params["params"])
+        # batch_stats update flows through the mutable collection, not
+        # gradients — zero grads keep the optimizer state consistent
+        grads = {"params": grads,
+                 "batch_stats": jax.tree_util.tree_map(jnp.zeros_like,
+                                                       bstats)}
         state = state.apply_gradients(grads)
+        state = state.replace(
+            params={**state.params, "batch_stats": new_bstats})
         return state, {"train_loss": loss,
                        "train_acc": accuracy(logits, batch["label"])}
 

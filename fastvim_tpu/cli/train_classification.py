@@ -77,11 +77,15 @@ def main(argv=None):
                          cutmix_alpha=cfg.get("cutmix", 1.0),
                          prob=cfg.get("mixup_prob", 1.0),
                          switch_prob=cfg.get("mixup_switch_prob", 0.5))
+    # grad_allreduce_dtype: "bfloat16" enables the compressed gradient
+    # all-reduce (fp16_compression_hook.py equivalent)
+    gard = cfg.get("grad_allreduce_dtype")
     train_step = make_supervised_train_step(
         model, cfg["num_classes"], mixup_config=mixup_cfg,
         label_smoothing=cfg.get("label_smoothing", 0.1),
         ema_decay=cfg.get("ema_decay", 0.9999)
-        if cfg.get("use_ema_weights", True) else None)
+        if cfg.get("use_ema_weights", True) else None,
+        grad_allreduce_dtype=jnp.dtype(gard) if gard else None)
     eval_step = make_supervised_eval_step(model)
 
     state = run_training(

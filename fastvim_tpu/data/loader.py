@@ -107,50 +107,124 @@ class DataLoader:
                 return
             yield list(chunk)
 
+    def _load_batch(self, batch_idx: List[int], epoch: int):
+        imgs, labels = [], []
+        for j in batch_idx:
+            img, label = self.dataset.load(int(j))
+            rng = random.Random(hash((self.seed, epoch, int(j))))
+            imgs.append(self.transform(img, rng))
+            labels.append(label)
+        return (np.stack(imgs).astype(np.float32),
+                np.asarray(labels, np.int64))
+
     def __iter__(self):
-        out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        """num_workers decode+augment threads over whole batches; results
+        are yielded in deterministic batch order regardless of worker
+        completion order, with a ``prefetch``-deep backpressure window so
+        at most prefetch+num_workers batches are in flight.
+
+        PIL decode and the native C++ augment both release the GIL, so
+        threads scale on multi-core hosts (the reference uses 12 torch
+        DataLoader worker *processes*, config/FastVimT.yaml:2)."""
         batches = list(self._batches())
         self.epoch += 1
         epoch = self.epoch
+        if not batches:
+            return
+
+        cond = threading.Condition()
+        results: dict = {}
+        next_in = [0]     # next batch index a worker should claim
+        next_out = [0]    # next batch index the consumer will yield
+        error: list = [None]
 
         def worker():
-            try:
-                for bi, batch_idx in enumerate(batches):
-                    imgs, labels = [], []
-                    for j in batch_idx:
-                        img, label = self.dataset.load(int(j))
-                        rng = random.Random(
-                            hash((self.seed, epoch, int(j))))
-                        imgs.append(self.transform(img, rng))
-                        labels.append(label)
-                    out_q.put((np.stack(imgs).astype(np.float32),
-                               np.asarray(labels, np.int64)))
-                out_q.put(None)
-            except BaseException as e:  # propagate to the consumer
-                out_q.put(e)
+            while True:
+                with cond:
+                    if error[0] is not None or next_in[0] >= len(batches):
+                        return
+                    bi = next_in[0]
+                    next_in[0] += 1
+                    # backpressure: stay within the prefetch window
+                    while (error[0] is None
+                           and bi - next_out[0] > self.prefetch
+                           + self.num_workers):
+                        cond.wait(timeout=0.5)
+                    if error[0] is not None:
+                        return
+                try:
+                    batch = self._load_batch(batches[bi], epoch)
+                except BaseException as e:  # propagate to the consumer
+                    with cond:
+                        error[0] = e
+                        cond.notify_all()
+                    return
+                with cond:
+                    results[bi] = batch
+                    cond.notify_all()
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = out_q.get()
-            if item is None:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield {"image": item[0], "label": item[1]}
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(min(self.num_workers, len(batches)))]
+        for t in threads:
+            t.start()
+        try:
+            for bi in range(len(batches)):
+                with cond:
+                    while bi not in results and error[0] is None:
+                        cond.wait(timeout=0.5)
+                    if error[0] is not None:
+                        raise error[0]
+                    item = results.pop(bi)
+                    next_out[0] = bi + 1
+                    cond.notify_all()
+                yield {"image": item[0], "label": item[1]}
+        finally:
+            with cond:
+                if error[0] is None:
+                    error[0] = GeneratorExit("loader closed")
+                cond.notify_all()
+
+
+def make_native_rgb_transform(img_size: int, training: bool,
+                              scale=(0.2, 1.0)) -> Optional[Callable]:
+    """Per-image transform running the C++ pipeline (RRC/center-crop +
+    flip + bilinear resize + normalize) via native.augment_batch. Returns
+    None when the native library is unavailable. Covers the MAE train
+    recipe exactly (RRC+flip+normalize) and the eval recipe (center crop);
+    the supervised train recipe needs RandAugment and stays in Python."""
+    from fastvim_tpu import native
+    from fastvim_tpu.data import transforms as T
+
+    if not native.available():
+        return None
+
+    def tf(img, rng):
+        arr = np.asarray(img.convert("RGB"), np.uint8)[None]
+        seed = rng.getrandbits(63) if rng is not None else 0
+        out = native.augment_batch(
+            arr, img_size, seed, training, T.IMAGENET_MEAN, T.IMAGENET_STD,
+            scale=scale, num_threads=1)
+        return out[0]
+
+    return tf
 
 
 def create_imagenet_loader(
     data_dir: Optional[str], split: str, batch_size: int, img_size: int,
     training: bool, mae: bool = False, num_workers: int = 4, seed: int = 0,
-    synthetic_samples: int = 512,
+    synthetic_samples: int = 512, use_native: bool = True,
 ):
     """Folder loader if data_dir exists, else synthetic (FakeData path)."""
     from fastvim_tpu.data import transforms as T
 
     if training:
         if mae:
-            tf = lambda img, rng: T.mae_transform(img, img_size, rng)
+            # MAE recipe = RRC(0.2–1.0)+flip+normalize — the native C++
+            # path implements it exactly; Python fallback otherwise
+            tf = (make_native_rgb_transform(img_size, True, (0.2, 1.0))
+                  if use_native else None)
+            if tf is None:
+                tf = lambda img, rng: T.mae_transform(img, img_size, rng)
         else:
             tf = lambda img, rng: T.train_transform(img, img_size, rng)
     else:

@@ -162,8 +162,12 @@ class MaskedAutoencoderVim(nn.Module):
     collapse_method: str = "mean"
     encoder_type: str = "fastvim"  # "fastvim" (masked pooled mixer) |
     # "vim" (plain non-pooled blocks over the visible subsequence — the
-    # Vim-MAE baseline, models/mae/fastvim_mae.py; its mid-sequence cls
-    # token is omitted here, the decoder path is identical)
+    # Vim-MAE baseline, models/mae/fastvim_mae.py)
+    use_cls_token: bool = False  # Vim-MAE inserts a cls token at the
+    # middle of the visible sequence (fastvim_mae.py:575-581); the decoder
+    # re-appends it at the end and drops it after prediction (:634-679).
+    # Its pos-embed row is zeros (:38-39). Only meaningful with
+    # encoder_type="vim" (FastMaskVim has no cls token).
     scan_impl: str = "auto"
     remat: bool = False  # rematerialize encoder blocks (Huge-scale)
     dtype: Any = jnp.float32
@@ -227,6 +231,21 @@ class MaskedAutoencoderVim(nn.Module):
         if self.encoder_type == "vim":
             # Vim-MAE baseline: plain full-scan blocks over the visible
             # subsequence (no pooling, no ids plumbing)
+            enc_len = len_keep
+            if self.use_cls_token:
+                # mid-sequence cls token (fastvim_mae.py:575-581); its
+                # pos-embed row is zeros, so cls_token + pos[0] = cls_token
+                cls = self.param(
+                    "cls_token",
+                    nn.initializers.truncated_normal(0.02, lower=-2.0,
+                                                     upper=2.0),
+                    (1, 1, self.embed_dim))
+                tp = len_keep // 2
+                cls_b = jnp.broadcast_to(
+                    cls.astype(hidden.dtype), (B, 1, self.embed_dim))
+                hidden = jnp.concatenate(
+                    [hidden[:, :tp], cls_b, hidden[:, tp:]], axis=1)
+                enc_len = len_keep + 1
             vim_kwargs = dict(mixer_kwargs)
             vim_kwargs["collapse_method"] = "none"
             block_cls = (nn.remat(Block, static_argnums=(3,))
@@ -234,7 +253,7 @@ class MaskedAutoencoderVim(nn.Module):
             for i in range(self.depth):
                 hidden, residual = block_cls(
                     dim=self.embed_dim, layer_idx=i,
-                    token_size=(len_keep, 1), mixer_kwargs=vim_kwargs,
+                    token_size=(enc_len, 1), mixer_kwargs=vim_kwargs,
                     rotate_every_block=False, rms_norm=self.rms_norm,
                     residual_in_fp32=self.residual_in_fp32,
                     norm_eps=self.norm_epsilon, dtype=self.dtype,
@@ -266,11 +285,20 @@ class MaskedAutoencoderVim(nn.Module):
         return hidden, mask, ids_restore
 
     def decode(self, latent, ids_restore, deterministic=True):
-        B, len_keep, _ = latent.shape
+        B, n_latent, _ = latent.shape
         L = ids_restore.shape[1]
+        has_cls = self.encoder_type == "vim" and self.use_cls_token
+        len_keep = n_latent - 1 if has_cls else n_latent
         x = nn.Dense(self.decoder_embed_dim,
                      kernel_init=nn.initializers.xavier_uniform(),
                      dtype=self.dtype, name="decoder_embed")(latent)
+        cls_dec = None
+        if has_cls:
+            # pull the mid-sequence cls out before unshuffling; its
+            # decoder pos-embed row is zeros (fastvim_mae.py:614-644)
+            tp = (n_latent - 1) // 2
+            cls_dec = x[:, tp:tp + 1]
+            x = jnp.concatenate([x[:, :tp], x[:, tp + 1:]], axis=1)
         mask_token = self.param(
             "mask_token",
             nn.initializers.truncated_normal(0.02, lower=-2.0, upper=2.0),
@@ -283,6 +311,10 @@ class MaskedAutoencoderVim(nn.Module):
         pos = jnp.asarray(
             get_2d_sincos_pos_embed(self.decoder_embed_dim, self.grid))
         x = x + pos[None].astype(x.dtype)
+        if has_cls:
+            # re-append the cls token at the END of the full sequence
+            # (fastvim_mae.py:639-644)
+            x = jnp.concatenate([x, cls_dec], axis=1)
 
         mixer_kwargs = dict(
             use_norm_after_ssm=self.use_norm_after_ssm,
@@ -312,9 +344,12 @@ class MaskedAutoencoderVim(nn.Module):
                      residual_in_fp32=self.residual_in_fp32,
                      eps=self.norm_epsilon, rms=self.rms_norm,
                      out_dtype=self.dtype)
-        return nn.Dense(self.patch_size**2 * self.channels,
+        pred = nn.Dense(self.patch_size**2 * self.channels,
                         kernel_init=nn.initializers.xavier_uniform(),
                         dtype=self.dtype, name="decoder_pred")(x)
+        if has_cls:
+            pred = pred[:, :-1]  # drop the cls token (fastvim_mae.py:674-678)
+        return pred
 
     def loss(self, imgs, pred, mask):
         target = self.patchify(imgs).astype(jnp.float32)
@@ -334,7 +369,10 @@ def _mae_factory(embed_dim, depth, patch_size, encoder_type="fastvim"):
         cfg = dict(img_size=img_size, patch_size=patch_size,
                    embed_dim=embed_dim, depth=depth, decoder_embed_dim=512,
                    decoder_depth=2, rms_norm=True, residual_in_fp32=True,
-                   fused_add_norm=True, encoder_type=encoder_type)
+                   fused_add_norm=True, encoder_type=encoder_type,
+                   # the Vim-MAE baseline carries a mid-sequence cls token
+                   # (fastvim_mae.py:364,575-581)
+                   use_cls_token=encoder_type == "vim")
         cfg.update(kwargs)
         return MaskedAutoencoderVim(**cfg)
     return factory

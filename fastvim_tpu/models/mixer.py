@@ -32,7 +32,8 @@ from fastvim_tpu.models.layers import (
     torch_linear_init,
 )
 from fastvim_tpu.ops import causal_conv1d, layer_norm, selective_scan
-from fastvim_tpu.ops.conv import anticausal_conv1d
+from fastvim_tpu.ops.conv import anticausal_conv1d, causal_conv1d_update
+from fastvim_tpu.ops.state_update import selective_state_update
 from fastvim_tpu.ops.scan import _prod, broadcast_grid, pool_grid
 
 Array = jax.Array
@@ -236,10 +237,22 @@ class MambaMixer(nn.Module):
         # the full-length activations.
         return y.astype(dtype) + Dp.astype(dtype)[None, None] * xc
 
+    def init_cache(self, batch: int):
+        """Zero incremental-decode cache (the reference's
+        allocate_inference_cache, mamba_simple.py:471-...): a rolling
+        conv window + fp32 SSM state for the causal (forward) branch."""
+        return {
+            "conv": jnp.zeros((batch, self.d_conv, self.d_inner),
+                              self.dtype),
+            "ssm": jnp.zeros((batch, self.d_inner, self.d_state),
+                             jnp.float32),
+        }
+
     @nn.compact
-    def __call__(self, x: Array, grid_shape: Tuple[int, ...],
+    def __call__(self, x: Array, grid_shape: Optional[Tuple[int, ...]] = None,
                  pool_axes: Optional[Tuple[int, ...]] = None,
-                 row_onehot: Optional[Array] = None) -> Array:
+                 row_onehot: Optional[Array] = None,
+                 cache: Optional[dict] = None):
         """x: (batch, L, d_model); grid_shape: token grid in this mixer's
         orientation (e.g. (rows, cols), or (rows, cols, C) for
         Channel-First). pool_axes: grid axes pooled before the scan
@@ -251,9 +264,17 @@ class MambaMixer(nn.Module):
         mirroring mamba_simple_masked_faster.py:213-215,297-300 where
         `compute_row_means_constantdivide(x, x_flip, ids_keep, ...)` uses
         one ids_keep for both directions.
+
+        cache: incremental-decode state from ``init_cache`` — x must then
+        be a single token (batch, 1, d_model) and the call returns
+        ``(out, new_cache)``, the causal forward-branch decode step
+        (the reference's Mamba.step, mamba_simple.py:409-470; the
+        anticausal branch has no causal decode analogue).
         """
-        if pool_axes is None:
-            pool_axes = (len(grid_shape) - 1,)
+        if cache is None:
+            assert grid_shape is not None, "grid_shape required"
+            if pool_axes is None:
+                pool_axes = (len(grid_shape) - 1,)
         d_inner = self.d_inner
         dtype = self.dtype
         x = x.astype(dtype)
@@ -274,7 +295,10 @@ class MambaMixer(nn.Module):
         else:
             ln_w = ln_b = None
 
-        if self._use_fused(grid_shape, pool_axes, row_onehot):
+        if cache is not None:
+            merged, new_cache = self._decode_step(
+                xin, z, fwd, cache, ln_w, ln_b)
+        elif self._use_fused(grid_shape, pool_axes, row_onehot):
             merged = self._fused_forward(xin, z, fwd, bwd, grid_shape,
                                          ln_w, ln_b)
         else:
@@ -303,4 +327,32 @@ class MambaMixer(nn.Module):
                 nn.initializers.constant(self.init_layer_scale),
                 (self.d_model,))
             out = out * gamma.astype(dtype)
+        if cache is not None:
+            return out, new_cache
         return out
+
+    def _decode_step(self, xin: Array, z: Array, params, cache,
+                     ln_w, ln_b):
+        """One causal decode step: conv window update → projections →
+        SSM state update → D·x skip → (LN) → silu(z) gate. xin/z:
+        (batch, 1, d_inner). Mirrors Mamba.step (mamba_simple.py:409-470)
+        with this mixer's post-SSM-norm option applied for
+        self-consistency with __call__'s forward branch."""
+        conv_w, conv_b, x_proj_w, dt_w, dt_b, A_log, Dp = params
+        dtype = self.dtype
+        xt, zt = xin[:, 0], z[:, 0]
+        xc, conv_state = causal_conv1d_update(
+            xt, cache["conv"], conv_w.astype(dtype),
+            None if conv_b is None else conv_b.astype(dtype))
+        dbl = jnp.dot(xc.astype(dtype), x_proj_w.astype(dtype))
+        r, n = self.dt_rank_, self.d_state
+        dt, Bm, Cm = dbl[:, :r], dbl[:, r:r + n], dbl[:, r + n:]
+        dt = jnp.dot(dt, dt_w.astype(dtype))
+        A = -jnp.exp(A_log.astype(jnp.float32))
+        y, ssm_state = selective_state_update(
+            cache["ssm"], xc, dt, A, Bm, Cm, D=Dp, z=None,
+            dt_bias=dt_b, dt_softplus=True)
+        if self.use_norm_after_ssm:
+            y = layer_norm(y, ln_w, ln_b, eps=self.norm_eps)
+        y = (y * jax.nn.silu(zt)).astype(dtype)
+        return y[:, None], {"conv": conv_state, "ssm": ssm_state}

@@ -1,0 +1,279 @@
+"""Static-shape box operations for the detection harness.
+
+TPU-native counterparts of the mmdetection primitives used by the
+reference's ViTDet cascade Mask R-CNN recipe
+(detection/configs/_base_/models/cascade-mask-rcnn_r50_fpn.py):
+AnchorGenerator, DeltaXYWHBBoxCoder, MaxIoUAssigner, RandomSampler, NMS
+and RoIAlign. Everything here is jit-compatible with static shapes: box
+sets are fixed-size with validity masks, NMS runs a fixed number of
+suppression rounds, and samplers return fixed-size index sets with
+weights instead of dynamic filtering.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+# --------------------------------------------------------------------
+# anchors (mmdet AnchorGenerator: scales=[8], ratios=[0.5,1,2],
+# strides=[4,8,16,32,64])
+# --------------------------------------------------------------------
+
+def generate_anchors(featmap_sizes: Sequence[Tuple[int, int]],
+                     strides: Sequence[int],
+                     scales: Sequence[float] = (8,),
+                     ratios: Sequence[float] = (0.5, 1.0, 2.0)
+                     ) -> np.ndarray:
+    """Concatenated (sum_i Hi*Wi*A, 4) xyxy anchors over pyramid levels.
+
+    Centers at stride/2 offsets; base size = stride (mmdet default
+    octave_base_scale semantics with scales in units of stride)."""
+    all_anchors = []
+    for (H, W), stride in zip(featmap_sizes, strides):
+        base = []
+        for r in ratios:
+            for s in scales:
+                size = s * stride
+                w = size * math.sqrt(1.0 / r)
+                h = size * math.sqrt(r)
+                base.append([-w / 2, -h / 2, w / 2, h / 2])
+        base = np.asarray(base, np.float32)  # (A, 4)
+        ys = (np.arange(H, dtype=np.float32) + 0.5) * stride
+        xs = (np.arange(W, dtype=np.float32) + 0.5) * stride
+        cx, cy = np.meshgrid(xs, ys)  # (H, W)
+        centers = np.stack([cx, cy, cx, cy], -1).reshape(-1, 1, 4)
+        anchors = (centers + base[None]).reshape(-1, 4)
+        all_anchors.append(anchors)
+    return np.concatenate(all_anchors, 0)
+
+
+# --------------------------------------------------------------------
+# DeltaXYWH box coder (mmdet DeltaXYWHBBoxCoder)
+# --------------------------------------------------------------------
+
+def delta_encode(boxes: Array, gt: Array,
+                 means=(0.0, 0.0, 0.0, 0.0),
+                 stds=(1.0, 1.0, 1.0, 1.0)) -> Array:
+    """(…, 4) xyxy source/target boxes → normalized dx,dy,dw,dh deltas."""
+    pw = jnp.maximum(boxes[..., 2] - boxes[..., 0], 1e-6)
+    ph = jnp.maximum(boxes[..., 3] - boxes[..., 1], 1e-6)
+    px = (boxes[..., 0] + boxes[..., 2]) * 0.5
+    py = (boxes[..., 1] + boxes[..., 3]) * 0.5
+    gw = jnp.maximum(gt[..., 2] - gt[..., 0], 1e-6)
+    gh = jnp.maximum(gt[..., 3] - gt[..., 1], 1e-6)
+    gx = (gt[..., 0] + gt[..., 2]) * 0.5
+    gy = (gt[..., 1] + gt[..., 3]) * 0.5
+    d = jnp.stack([(gx - px) / pw, (gy - py) / ph,
+                   jnp.log(gw / pw), jnp.log(gh / ph)], -1)
+    return (d - jnp.asarray(means)) / jnp.asarray(stds)
+
+
+def delta_decode(boxes: Array, deltas: Array,
+                 means=(0.0, 0.0, 0.0, 0.0),
+                 stds=(1.0, 1.0, 1.0, 1.0),
+                 max_shape: Tuple[int, int] = None,
+                 wh_ratio_clip: float = 16 / 1000) -> Array:
+    """Apply (…, 4) deltas to (…, 4) xyxy boxes."""
+    d = deltas * jnp.asarray(stds) + jnp.asarray(means)
+    max_ratio = abs(math.log(wh_ratio_clip))
+    dw = jnp.clip(d[..., 2], -max_ratio, max_ratio)
+    dh = jnp.clip(d[..., 3], -max_ratio, max_ratio)
+    pw = boxes[..., 2] - boxes[..., 0]
+    ph = boxes[..., 3] - boxes[..., 1]
+    px = (boxes[..., 0] + boxes[..., 2]) * 0.5
+    py = (boxes[..., 1] + boxes[..., 3]) * 0.5
+    gx = px + pw * d[..., 0]
+    gy = py + ph * d[..., 1]
+    gw = pw * jnp.exp(dw)
+    gh = ph * jnp.exp(dh)
+    out = jnp.stack([gx - gw * 0.5, gy - gh * 0.5,
+                     gx + gw * 0.5, gy + gh * 0.5], -1)
+    if max_shape is not None:
+        H, W = max_shape
+        out = jnp.stack([jnp.clip(out[..., 0], 0, W),
+                         jnp.clip(out[..., 1], 0, H),
+                         jnp.clip(out[..., 2], 0, W),
+                         jnp.clip(out[..., 3], 0, H)], -1)
+    return out
+
+
+def box_iou(a: Array, b: Array) -> Array:
+    """IoU matrix between (N, 4) and (M, 4) xyxy boxes."""
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = jnp.clip(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    return inter / jnp.maximum(area_a[:, None] + area_b[None, :] - inter,
+                               1e-9)
+
+
+# --------------------------------------------------------------------
+# static NMS
+# --------------------------------------------------------------------
+
+def nms(boxes: Array, scores: Array, iou_threshold: float,
+        max_out: int) -> Tuple[Array, Array]:
+    """Greedy NMS with static shapes.
+
+    Returns (indices (max_out,), valid (max_out,) bool). Suppressed /
+    exhausted slots have valid=False (index clamps to 0 for safe gather).
+    """
+    n = boxes.shape[0]
+    iou = box_iou(boxes, boxes)
+
+    def body(state, _):
+        live_scores, = state
+        best = jnp.argmax(live_scores)
+        best_score = live_scores[best]
+        keep = best_score > -jnp.inf
+        # suppress overlapping + the selected box itself
+        suppress = (iou[best] > iou_threshold) | (
+            jnp.arange(n) == best)
+        live_scores = jnp.where(suppress & keep, -jnp.inf, live_scores)
+        return (live_scores,), (jnp.where(keep, best, 0),
+                                keep)
+
+    (_,), (idx, valid) = jax.lax.scan(
+        body, (jnp.where(jnp.isfinite(scores), scores, -jnp.inf),),
+        None, length=max_out)
+    return idx, valid
+
+
+# --------------------------------------------------------------------
+# MaxIoUAssigner (mmdet semantics)
+# --------------------------------------------------------------------
+
+def max_iou_assign(boxes: Array, gt_boxes: Array, gt_valid: Array,
+                   pos_iou_thr: float, neg_iou_thr: float,
+                   min_pos_iou: float = 0.0,
+                   match_low_quality: bool = False) -> Array:
+    """Returns assigned_gt (N,) int32: -1 = negative, -2 = ignore,
+    >= 0 = matched gt index. gt_valid masks padded gt rows."""
+    iou = box_iou(boxes, gt_boxes)  # (N, G)
+    iou = jnp.where(gt_valid[None, :], iou, -1.0)
+    max_iou = iou.max(axis=1)
+    argmax = iou.argmax(axis=1)
+    assigned = jnp.full(boxes.shape[0], -2, jnp.int32)
+    assigned = jnp.where(max_iou < neg_iou_thr, -1, assigned)
+    assigned = jnp.where(max_iou >= pos_iou_thr,
+                         argmax.astype(jnp.int32), assigned)
+    if match_low_quality:
+        # each gt claims its best-overlapping box (even below pos_thr),
+        # provided that overlap >= min_pos_iou (mmdet MaxIoUAssigner)
+        gt_best = iou.max(axis=0)  # (G,)
+        claim = (iou == gt_best[None, :]) & (iou >= min_pos_iou) \
+            & gt_valid[None, :]
+        # highest-index gt wins ties (mmdet iterates gts in order)
+        gt_ids = jnp.arange(gt_boxes.shape[0], dtype=jnp.int32)
+        claimed = jnp.where(claim, gt_ids[None, :], -1).max(axis=1)
+        assigned = jnp.where(claimed >= 0, claimed, assigned)
+    return assigned
+
+
+def random_sample(rng: Array, assigned: Array, num: int,
+                  pos_fraction: float
+                  ) -> Tuple[Array, Array, Array]:
+    """Sample ``num`` boxes: up to num*pos_fraction positives, rest
+    negatives (mmdet RandomSampler). Static shapes: returns
+    (indices (num,), is_pos (num,) bool, valid (num,) bool)."""
+    n = assigned.shape[0]
+    r_pos, r_neg = jax.random.split(rng)
+    num_pos_max = int(num * pos_fraction)
+    pos_mask = assigned >= 0
+    neg_mask = assigned == -1
+    # randomized priority top-k within each class of candidates
+    pos_rank = jnp.where(pos_mask, jax.random.uniform(r_pos, (n,)), -1.0)
+    pos_idx = jnp.argsort(-pos_rank)[:num_pos_max]
+    pos_valid = pos_mask[pos_idx]
+    n_pos = pos_valid.sum()
+    neg_rank = jnp.where(neg_mask, jax.random.uniform(r_neg, (n,)), -1.0)
+    neg_idx = jnp.argsort(-neg_rank)[: num - num_pos_max]
+    neg_valid = neg_mask[neg_idx]
+    # keep only enough negatives to fill the quota
+    neg_quota = num - num_pos_max
+    neg_valid = neg_valid & (jnp.cumsum(neg_valid) <= neg_quota)
+    idx = jnp.concatenate([pos_idx, neg_idx])
+    is_pos = jnp.concatenate([pos_valid,
+                              jnp.zeros_like(neg_valid)])
+    valid = jnp.concatenate([pos_valid, neg_valid])
+    del n_pos
+    return idx, is_pos, valid
+
+
+# --------------------------------------------------------------------
+# RoIAlign (mmdet RoIAlign, aligned=True, sampling_ratio=0 → adaptive,
+# approximated with a fixed 2×2 sample grid per bin)
+# --------------------------------------------------------------------
+
+def roi_align(feat: Array, rois: Array, out_size: int,
+              spatial_scale: float, sampling: int = 2) -> Array:
+    """feat (H, W, C); rois (R, 4) xyxy in image coords →
+    (R, out_size, out_size, C) via bilinear sampling, ``sampling``²
+    samples per bin averaged."""
+    H, W, C = feat.shape
+    boxes = rois * spatial_scale
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    bw = jnp.maximum(x2 - x1, 1e-6)
+    bh = jnp.maximum(y2 - y1, 1e-6)
+    # sample centers: out_size*sampling points per axis, aligned=True
+    # (half-pixel offset convention)
+    s = out_size * sampling
+    steps = (jnp.arange(s, dtype=feat.dtype) + 0.5) / s
+    ys = y1[:, None] + steps[None, :] * bh[:, None] - 0.5  # (R, s)
+    xs = x1[:, None] + steps[None, :] * bw[:, None] - 0.5
+
+    y0 = jnp.clip(jnp.floor(ys), 0, H - 1)
+    x0 = jnp.clip(jnp.floor(xs), 0, W - 1)
+    y1i = jnp.clip(y0 + 1, 0, H - 1).astype(jnp.int32)
+    x1i = jnp.clip(x0 + 1, 0, W - 1).astype(jnp.int32)
+    wy = jnp.clip(ys, 0, H - 1) - y0
+    wx = jnp.clip(xs, 0, W - 1) - x0
+    y0 = y0.astype(jnp.int32)
+    x0 = x0.astype(jnp.int32)
+
+    def gather(yi, xi):
+        # (R, s, s, C) from (H, W, C)
+        return feat[yi[:, :, None], xi[:, None, :]]
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x1i)
+    v10 = gather(y1i, x0)
+    v11 = gather(y1i, x1i)
+    wy_ = wy[:, :, None, None]
+    wx_ = wx[:, None, :, None]
+    val = (v00 * (1 - wy_) * (1 - wx_) + v01 * (1 - wy_) * wx_
+           + v10 * wy_ * (1 - wx_) + v11 * wy_ * wx_)
+    # average the sampling² samples in each output bin
+    R = rois.shape[0]
+    val = val.reshape(R, out_size, sampling, out_size, sampling, C)
+    return val.mean(axis=(2, 4))
+
+
+def multilevel_roi_align(feats: Sequence[Array], rois: Array,
+                         out_size: int, strides: Sequence[int],
+                         finest_scale: float = 56.0) -> Array:
+    """FPN-level-routed RoIAlign (mmdet SingleRoIExtractor:
+    level = floor(log2(sqrt(area)/56 + 1e-6)) clamped).
+
+    feats: per-level (H_l, W_l, C) maps (one image). Computes RoIAlign on
+    every level and selects per-RoI — static shapes at ~len(feats)× the
+    minimal FLOPs, negligible next to the heads."""
+    scale = jnp.sqrt(jnp.maximum(
+        (rois[:, 2] - rois[:, 0]) * (rois[:, 3] - rois[:, 1]), 1e-6))
+    lvl = jnp.floor(jnp.log2(scale / finest_scale + 1e-6))
+    lvl = jnp.clip(lvl, 0, len(feats) - 1).astype(jnp.int32)
+    outs = jnp.stack([
+        roi_align(f, rois, out_size, 1.0 / s)
+        for f, s in zip(feats, strides)])  # (L, R, o, o, C)
+    sel = jax.nn.one_hot(lvl, len(feats), dtype=outs.dtype)  # (R, L)
+    return jnp.einsum("lrijc,rl->rijc", outs, sel)

@@ -35,6 +35,8 @@ def make_supervised_train_step(
     label_smoothing: float = 0.1,
     ema_decay: Optional[float] = 0.9999,
     channel_model: bool = False,
+    grad_allreduce_dtype: Optional[Any] = None,
+    mesh=None,
 ) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
@@ -42,6 +44,14 @@ def make_supervised_train_step(
     ChannelVim). Mirrors SupervisedModule.training_step
     (supervised_imagenet.py:128-151): mixup → forward → soft-target CE
     (or smoothed CE without mixup) → update → EMA.
+
+    ``grad_allreduce_dtype`` (e.g. jnp.bfloat16): compress the gradient
+    all-reduce over the data axis — the TPU-native equivalent of the
+    reference's fp16 DDP comm hook (detection/vitdet/
+    fp16_compression_hook.py:16-26). Per-shard grads are computed under
+    shard_map, cast down, pmean'd over ICI in the compressed dtype, and
+    cast back before the (fp32) optimizer update. DP-only (requires
+    mesh seq=1).
     """
 
     def loss_fn(params, images, targets, rng):
@@ -52,6 +62,36 @@ def make_supervised_train_step(
                              rngs={"dropout": rng}, **kwargs)
         loss = soft_target_cross_entropy(logits, targets["soft"])
         return loss, logits
+
+    grads_sharded = None
+    if grad_allreduce_dtype is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from fastvim_tpu.parallel.mesh import get_mesh
+
+        mesh_ = mesh if mesh is not None else get_mesh()
+        if "seq" in mesh_.shape and mesh_.shape["seq"] > 1:
+            raise ValueError(
+                "grad_allreduce_dtype implements the DP-only comm hook; "
+                "use seq=1 (got seq=%d)" % mesh_.shape["seq"])
+        if channel_model:
+            raise NotImplementedError(
+                "grad compression with channel models not wired")
+
+        @functools.partial(
+            shard_map, mesh=mesh_,
+            in_specs=(P(), P("data"), P("data"), P()),
+            out_specs=(P(), P()), check_rep=False)
+        def grads_sharded(params, images, soft, rng):
+            (loss, _), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, images, {"soft": soft}, rng)
+            grads = jax.tree_util.tree_map(
+                lambda g: g.astype(grad_allreduce_dtype), grads)
+            grads = jax.lax.pmean(grads, "data")
+            grads = jax.tree_util.tree_map(
+                lambda g, p: g.astype(p.dtype), grads, params)
+            return jax.lax.pmean(loss, "data"), grads
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, rng):
@@ -66,11 +106,16 @@ def make_supervised_train_step(
             from fastvim_tpu.train.mixup import one_hot_smooth
 
             soft = one_hot_smooth(labels, num_classes, label_smoothing)
-        targets = {"soft": soft}
-        if "channel_ids" in batch:
-            targets["channel_ids"] = batch["channel_ids"]
-        (loss, logits), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, images, targets, rng_drop)
+        if grads_sharded is not None:
+            loss, grads = grads_sharded(state.params, images, soft,
+                                        rng_drop)
+        else:
+            targets = {"soft": soft}
+            if "channel_ids" in batch:
+                targets["channel_ids"] = batch["channel_ids"]
+            (loss, _), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, images, targets,
+                                       rng_drop)
         state = state.apply_gradients(grads, ema_decay=ema_decay)
         metrics = {"train_loss": loss,
                    "grad_norm": optax_global_norm(grads)}

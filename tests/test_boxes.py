@@ -1,0 +1,131 @@
+"""Unit tests for the static-shape detection primitives (ops/boxes.py)
+against independent numpy references — the mmdet semantics the reference
+delegates to (cascade-mask-rcnn_r50_fpn.py)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from fastvim_tpu.ops.boxes import (
+    box_iou,
+    delta_decode,
+    delta_encode,
+    generate_anchors,
+    max_iou_assign,
+    multilevel_roi_align,
+    nms,
+    random_sample,
+    roi_align,
+)
+
+
+def test_anchor_count_and_geometry():
+    a = generate_anchors([(4, 4), (2, 2)], [8, 16])
+    assert a.shape == (4 * 4 * 3 + 2 * 2 * 3, 4)
+    # first cell, ratio 0.5 scale 8, stride 8: 64-px² anchor at (4, 4)
+    w = a[0, 2] - a[0, 0]
+    h = a[0, 3] - a[0, 1]
+    np.testing.assert_allclose(w * h, (8 * 8) ** 2, rtol=1e-5)
+    np.testing.assert_allclose(h / w, 0.5, rtol=1e-5)
+    np.testing.assert_allclose((a[0, 0] + a[0, 2]) / 2, 4.0, atol=1e-5)
+
+
+def test_delta_encode_decode_roundtrip():
+    rng = np.random.default_rng(0)
+    src = rng.uniform(0, 50, (16, 2))
+    boxes = np.concatenate([src, src + rng.uniform(5, 40, (16, 2))], 1)
+    gt = boxes + rng.uniform(-3, 3, boxes.shape)
+    gt[:, 2:] = np.maximum(gt[:, 2:], gt[:, :2] + 1)
+    stds = (0.1, 0.1, 0.2, 0.2)
+    d = delta_encode(jnp.asarray(boxes), jnp.asarray(gt), stds=stds)
+    back = delta_decode(jnp.asarray(boxes), d, stds=stds)
+    np.testing.assert_allclose(np.asarray(back), gt, atol=1e-4)
+
+
+def test_nms_matches_naive():
+    rng = np.random.default_rng(1)
+    xy = rng.uniform(0, 60, (30, 2))
+    boxes = np.concatenate([xy, xy + rng.uniform(8, 25, (30, 2))], 1)
+    scores = rng.uniform(0, 1, 30).astype(np.float32)
+
+    def naive_nms(b, s, thr):
+        order = np.argsort(-s)
+        keep = []
+        while order.size:
+            i = order[0]
+            keep.append(i)
+            iou = np.asarray(box_iou(jnp.asarray(b[i:i + 1]),
+                                     jnp.asarray(b[order[1:]])))[0]
+            order = order[1:][iou <= thr]
+        return keep
+
+    expected = naive_nms(boxes, scores, 0.5)
+    idx, valid = nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5, 30)
+    got = [int(i) for i, v in zip(idx, valid) if v]
+    assert got == expected
+
+
+def test_max_iou_assign_semantics():
+    gt = jnp.asarray([[0, 0, 10, 10], [20, 20, 40, 40],
+                      [0, 0, 1, 1]], jnp.float32)
+    gt_valid = jnp.asarray([True, True, False])
+    boxes = jnp.asarray([
+        [0, 0, 10, 10],      # iou 1.0 with gt0 → pos
+        [0, 0, 10, 20],      # iou 0.5 with gt0 → between thresholds
+        [100, 100, 110, 110],  # iou 0 → neg
+        [0, 0, 1, 1],        # overlaps only the INVALID gt → neg
+        [18, 18, 30, 30],    # iou ≈0.22 with gt1 → neg, but gt1's best
+    ], jnp.float32)
+    a = max_iou_assign(boxes, gt, gt_valid, pos_iou_thr=0.7,
+                       neg_iou_thr=0.3)
+    assert a[0] == 0 and a[1] == -2 and a[2] == -1 and a[3] == -1
+    assert a[4] == -1
+    # low-quality matching: gt1's best-overlapping box gets claimed
+    a2 = max_iou_assign(boxes, gt, gt_valid, pos_iou_thr=0.7,
+                        neg_iou_thr=0.3, min_pos_iou=0.1,
+                        match_low_quality=True)
+    assert a2[4] == 1 and a2[0] == 0
+
+
+def test_random_sample_counts():
+    assigned = jnp.asarray([0, 1, -1, -1, -1, -1, -2, 0], jnp.int32)
+    idx, is_pos, valid = random_sample(jax.random.PRNGKey(0), assigned,
+                                       num=6, pos_fraction=0.5)
+    assert idx.shape == (6,)
+    a = np.asarray(assigned)[np.asarray(idx)]
+    # valid positives really are positives; valid negatives negatives
+    assert all(a[i] >= 0 for i in range(6)
+               if valid[i] and is_pos[i])
+    assert all(a[i] == -1 for i in range(6)
+               if valid[i] and not is_pos[i])
+    # only 3 positives exist and pos quota is 3
+    assert int(np.sum(np.asarray(is_pos) & np.asarray(valid))) == 3
+
+
+def test_roi_align_linear_ramp_exact():
+    """Bilinear sampling of a linear ramp is exact: each output bin value
+    equals the ramp at the bin's center."""
+    H = W = 16
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    feat = (2.0 * xs + 3.0 * ys).astype(np.float32)[..., None]
+    rois = jnp.asarray([[2.0, 4.0, 10.0, 12.0]])
+    out = np.asarray(roi_align(jnp.asarray(feat), rois, 4, 1.0))
+    bw, bh = 8.0 / 4, 8.0 / 4
+    for i in range(4):
+        for j in range(4):
+            cx = 2.0 + (j + 0.5) * bw - 0.5
+            cy = 4.0 + (i + 0.5) * bh - 0.5
+            np.testing.assert_allclose(out[0, i, j, 0], 2 * cx + 3 * cy,
+                                       rtol=1e-5)
+
+
+def test_multilevel_roi_align_routes_by_scale():
+    feats = [jnp.full((32 // s, 32 // s, 1), float(k))
+             for k, s in enumerate([4, 8, 16, 32])]
+    # small roi (area 32² → lvl floor(log2(32/56)) < 0 → 0);
+    # large roi (area 448² → lvl 3)
+    rois = jnp.asarray([[0, 0, 32, 32], [0, 0, 448, 448]], jnp.float32)
+    out = np.asarray(multilevel_roi_align(feats, rois, 2, [4, 8, 16, 32]))
+    assert np.allclose(out[0], 0.0)
+    assert np.allclose(out[1], 3.0)

@@ -120,3 +120,51 @@ def test_dropout_path_training_mode():
     y2 = model.apply(params, x, deterministic=False,
                      rngs={"dropout": jax.random.PRNGKey(3)})
     assert not np.allclose(np.asarray(y1), np.asarray(y2))
+
+
+def test_mixer_incremental_decode_matches_forward_branch():
+    """MambaMixer.step (cache path): iterating single-token decode over a
+    sequence reproduces the causal forward branch computed in one shot
+    (conv → scan → D·x → LN → silu(z) gate → out_proj). The vision analogue
+    of Mamba.step/allocate_inference_cache (mamba_simple.py:409-471,
+    plumbed at models/fastvim.py:468-474)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fastvim_tpu.models.mixer import MambaMixer
+    from fastvim_tpu.ops import causal_conv1d, layer_norm, selective_scan
+
+    B, L, d_model = 2, 10, 16
+    mixer = MambaMixer(d_model=d_model, d_state=4, collapse_method="none",
+                       n_layer=2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, L, d_model))
+    variables = mixer.init(jax.random.PRNGKey(1), x, (L, 1))
+    p = variables["params"]
+
+    # one-shot forward branch with the module's own (oracled) ops
+    xz = x @ p["in_proj"]["kernel"]
+    d_inner = mixer.d_inner
+    xin, z = xz[..., :d_inner], xz[..., d_inner:]
+    xc = causal_conv1d(xin, p["conv1d_weight"], p["conv1d_bias"])
+    dbl = xc @ p["x_proj_weight"]
+    r, n = mixer.dt_rank_, mixer.d_state
+    dt, Bm, Cm = dbl[..., :r], dbl[..., r:r + n], dbl[..., r + n:]
+    dt = dt @ p["dt_proj_weight"]
+    A = -jnp.exp(p["A_log"])
+    y = selective_scan(xc, dt, A, Bm, Cm, D=None,
+                       delta_bias=p["dt_proj_bias"], delta_softplus=True,
+                       impl="ref")
+    y = y + p["D"][None, None] * xc
+    y = layer_norm(y, p["layernorm_weight"], p["layernorm_bias"])
+    y = y * jax.nn.silu(z)
+    expected = y @ p["out_proj"]["kernel"]
+
+    cache = mixer.init_cache(B)
+    outs = []
+    for t in range(L):
+        o, cache = mixer.apply(variables, x[:, t:t + 1], cache=cache)
+        outs.append(o)
+    got = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=1e-5, rtol=1e-4)

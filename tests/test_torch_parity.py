@@ -256,3 +256,52 @@ def test_mm_feature_maps_parity():
         t = torch.nn.functional.layer_norm(t.float(), (64,))
         t = t.reshape(2, H, W, 64).numpy()
         np.testing.assert_allclose(np.asarray(feats[j]), t, **TOL)
+
+
+def test_vim_mae_midcls_parity():
+    """Vim-MAE baseline: plain Vim encoder over the visible subsequence
+    with the mid-sequence cls token (models/mae/fastvim_mae.py:364,
+    575-581), decoder re-appending it at the end and dropping it after
+    prediction (:620-679). Loss/pred/mask parity with identical masking
+    noise."""
+    ref = harness.load_ref_vim_mae()
+    import fastvim_tpu.models.mae as mae_mod
+    from fastvim_tpu.utils.torch_convert import convert_mae
+
+    torch.manual_seed(8)
+    m_ref = ref.MaskedAutoencoderViM(
+        img_size=64, patch_size=16, depth=4, embed_dim=64,
+        decoder_embed_dim=48, decoder_depth=2, rms_norm=True,
+        residual_in_fp32=True, fused_add_norm=True,
+        ssm_cfg=dict(d_state=8, use_fast_path=False))
+    m_ref.eval()
+    B, L = 2, 16
+    noise = np.random.RandomState(9).rand(B, L).astype(np.float32)
+    x = torch.randn(B, 3, 64, 64)
+    orig_rand = torch.rand
+    torch.rand = lambda *a, **k: torch.from_numpy(noise)
+    try:
+        with torch.no_grad():
+            loss_ref, pred_ref, mask_ref = m_ref(x, mask_ratio=0.75)
+    finally:
+        torch.rand = orig_rand
+
+    mine = mae_mod.MaskedAutoencoderVim(
+        img_size=64, patch_size=16, depth=4, embed_dim=64,
+        decoder_embed_dim=48, decoder_depth=2, rms_norm=True,
+        residual_in_fp32=True, encoder_type="vim", use_cls_token=True,
+        ssm_cfg=dict(d_state=8))
+    params = convert_mae(m_ref.state_dict())
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    orig_mask = mae_mod.sorted_random_masking
+    mae_mod.sorted_random_masking = (
+        lambda r, b, L_, k: orig_mask(r, b, L_, k, noise=jnp.asarray(noise)))
+    try:
+        loss, pred, mask = mine.apply(
+            params, xj, 0.75, rngs={"mask": jax.random.PRNGKey(0)})
+    finally:
+        mae_mod.sorted_random_masking = orig_mask
+    assert np.array_equal(np.asarray(mask), mask_ref.numpy())
+    np.testing.assert_allclose(np.asarray(pred), pred_ref.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    assert abs(float(loss) - float(loss_ref)) < 1e-5

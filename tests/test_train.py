@@ -197,3 +197,74 @@ def test_mae_training_step():
         state, m = step(state, {"image": x}, jax.random.PRNGKey(3))
         losses.append(float(m["train_loss"]))
     assert losses[-1] < losses[0]
+
+
+def test_grad_compression_bf16_matches_fp32():
+    """bf16 gradient all-reduce flag (the fp16_compression_hook
+    equivalent, detection/vitdet/fp16_compression_hook.py:16-26): same
+    step on an 8-device data mesh with and without compression yields
+    matching loss and near-matching params."""
+    assert jax.device_count() >= 8
+    mesh = make_mesh(data=8, seq=1)
+    model = tiny_model()
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 16, 16, 3))
+    y = jnp.arange(16) % 5
+    params = model.init(jax.random.PRNGKey(2), x)
+    tx = make_optimizer(cosine_with_warmup(1e-3, 1e-5, 10, 0),
+                        weight_decay=0.0, params=params)
+
+    def fresh_state():
+        return TrainState.create(
+            jax.tree_util.tree_map(jnp.copy, params), tx, ema=False)
+
+    batch = shard_batch({"image": x, "label": y}, mesh)
+    step_fp32 = make_supervised_train_step(model, 5, mixup_config=None,
+                                           ema_decay=None)
+    step_bf16 = make_supervised_train_step(
+        model, 5, mixup_config=None, ema_decay=None,
+        grad_allreduce_dtype=jnp.bfloat16, mesh=mesh)
+    s32, m32 = step_fp32(fresh_state(), batch, jax.random.PRNGKey(0))
+    s16, m16 = step_bf16(fresh_state(), batch, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(m32["train_loss"]),
+                               float(m16["train_loss"]), rtol=1e-2)
+    flat32 = jax.tree_util.tree_leaves(s32.params)
+    flat16 = jax.tree_util.tree_leaves(s16.params)
+    for a, b in zip(flat32, flat16):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3, rtol=0.2)
+
+
+def test_grad_compression_rejects_seq_mesh():
+    mesh = make_mesh(data=4, seq=2)
+    with pytest.raises(ValueError, match="seq"):
+        make_supervised_train_step(tiny_model(), 5,
+                                   grad_allreduce_dtype=jnp.bfloat16,
+                                   mesh=mesh)
+    make_mesh(data=8, seq=1)  # restore the cached mesh for later tests
+
+
+def test_linear_probe_bn_eval_batch_independent():
+    """Probe BN must use running stats at eval (torch BN1d semantics,
+    mae/linear_imagenet.py:39-53): per-sample eval logits are identical
+    whether evaluated alone or inside a batch."""
+    from fastvim_tpu.cli.linear_probe import ProbeHead
+
+    head = ProbeHead(num_classes=3)
+    feats = jax.random.normal(jax.random.PRNGKey(0), (32, 8)) * 2.0 + 1.0
+    variables = head.init(jax.random.PRNGKey(1), feats)
+    # a few train steps to move the running stats off init
+    for i in range(5):
+        batch = jax.random.normal(jax.random.PRNGKey(i + 2), (16, 8))
+        _, upd = head.apply(variables, batch, train=True,
+                            mutable=["batch_stats"])
+        variables = {"params": variables["params"],
+                     "batch_stats": upd["batch_stats"]}
+    full = head.apply(variables, feats, train=False)
+    single = jnp.concatenate([
+        head.apply(variables, feats[i:i + 1], train=False)
+        for i in range(8)])
+    np.testing.assert_allclose(np.asarray(full[:8]), np.asarray(single),
+                               rtol=1e-5, atol=1e-5)
+    # and running stats actually moved (train used batch stats + EMA)
+    rm = variables["batch_stats"]["bn"]["mean"]
+    assert float(jnp.abs(rm).max()) > 0.0
