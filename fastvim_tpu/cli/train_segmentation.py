@@ -1,17 +1,20 @@
-"""ADE20K-style semantic segmentation training (UperNet over FastVim).
+"""ADE20K semantic segmentation training (UperNet over FastVim).
 
-Entry point mirroring `segmentation/tools/train.py`:
+Entry point mirroring `segmentation/tools/train.py` + the mmseg dataset
+config (segmentation/configs/_base_/datasets/ade20k.py): real ADE20K
+folder data (or synthetic fallback), poly LR, AdamW with SSM no-decay
+keys, FCN aux loss, periodic slide-inference mIoU eval, checkpoint-in →
+mIoU-out with --eval_only.
+
   python -m fastvim_tpu.cli.train_segmentation \
       --config_name upernet_FastVimT_ade20k --model_save_dir out/ \
+      --data_dir /data/ADEChallengeData2016 \
       [pretrained_checkpoint_path=/ckpt]
-
-Data: folder of (image.npy, label.npy) pairs or synthetic. The full
-mmsegmentation data zoo is out of scope; the training loop (poly LR,
-AdamW with SSM no-decay keys, aux-head loss) matches the reference
-recipe.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 
@@ -34,27 +37,52 @@ def poly_schedule(base_lr, total_iters, power=1.0, min_lr=0.0,
     return schedule
 
 
-class SyntheticSegData:
-    def __init__(self, n, size, num_classes):
-        self.n, self.size, self.num_classes = n, size, num_classes
+def evaluate_miou(seg, params, val_loader, num_classes: int,
+                  crop: int, use_slide: bool = True) -> float:
+    """Slide-inference mIoU over a loader (the reference's slide test
+    mode, seg config :42-76 + mmseg IoUMetric)."""
+    from fastvim_tpu.models.upernet import slide_inference
+    from fastvim_tpu.train.metrics import (
+        confusion_matrix,
+        miou_from_confusion,
+    )
 
-    def batches(self, batch_size, seed=0):
-        rng = np.random.default_rng(seed)
-        for i in range(self.n // batch_size):
-            img = rng.standard_normal(
-                (batch_size, self.size, self.size, 3)).astype(np.float32)
-            lbl = rng.integers(
-                0, self.num_classes,
-                (batch_size, self.size, self.size)).astype(np.int32)
-            yield {"image": img, "label": lbl}
+    @jax.jit
+    def window_logits(images):
+        return seg.apply(params, images, deterministic=True)
+
+    @jax.jit
+    def cm_batch(logits, labels):
+        pred = jnp.argmax(logits, axis=-1)
+        return confusion_matrix(pred, labels, num_classes)
+
+    cm = np.zeros((num_classes, num_classes), np.float64)
+    for batch in val_loader:
+        images = jnp.asarray(batch["image"])
+        H, W = images.shape[1:3]
+        if use_slide and (H > crop or W > crop):
+            logits = slide_inference(window_logits, images, crop=crop,
+                                     stride=int(crop * 2 / 3),
+                                     num_classes=num_classes)
+        else:
+            logits = window_logits(images)
+        cm += np.asarray(cm_batch(logits, jnp.asarray(batch["label"])),
+                         np.float64)
+    return float(miou_from_confusion(jnp.asarray(cm)))
 
 
 def main(argv=None):
     p = base_parser(__doc__)
     p.add_argument("--total_iters", type=int, default=None)
+    p.add_argument("--eval_only", action="store_true",
+                   help="checkpoint-in → mIoU-out, no training")
+    p.add_argument("--eval_every", type=int, default=16000,
+                   help="iterations between mIoU evals (schedule_160k.py"
+                   " CheckpointHook interval)")
     args = p.parse_args(argv)
     cfg = load_cli_config(args, "segmentation")
 
+    from fastvim_tpu.data.segmentation import create_segmentation_loader
     from fastvim_tpu.models import create_model
     from fastvim_tpu.models.upernet import (
         UperNetSegmentor,
@@ -62,16 +90,20 @@ def main(argv=None):
     )
     from fastvim_tpu.train import TrainState, make_optimizer
     from fastvim_tpu.train.checkpoint import (
+        latest_checkpoint,
         load_pretrained_backbone,
+        restore_checkpoint,
         save_checkpoint,
     )
+    from fastvim_tpu.train.loop import CSVLogger
 
     mesh, shard_fn = setup_mesh()
     backbone = create_model(
         cfg["model"], img_size=cfg["img_size"], num_classes=0,
         drop_path_rate=0.0, out_indices=tuple(cfg["out_indices"]))
-    seg = UperNetSegmentor(backbone=backbone,
-                           num_classes=cfg["num_classes"])
+    seg = UperNetSegmentor(
+        backbone=backbone, num_classes=cfg["num_classes"],
+        aux_index=cfg.get("aux_index", 2))
 
     size = cfg["img_size"]
     x0 = jnp.zeros((2, size, size, 3))
@@ -79,7 +111,33 @@ def main(argv=None):
     ckpt = cfg.get("pretrained_checkpoint_path")
     if ckpt:
         params = load_pretrained_backbone(
-            ckpt, params, prefer_ema=cfg.get("load_ema", True))
+            ckpt, params, prefer_ema=cfg.get("load_ema", True),
+            subtree="backbone")
+
+    data_dir = cfg.get("data", {}).get("dir")
+    num_workers = cfg.get("num_workers", 2)
+    val_loader = create_segmentation_loader(
+        data_dir, "validation", cfg.get("eval_batch_size", 1), size,
+        training=False, num_classes=cfg["num_classes"],
+        num_workers=num_workers,
+        synthetic_samples=min(args.synthetic_samples, 8))
+
+    if args.eval_only:
+        if args.model_save_dir:
+            path = latest_checkpoint(os.path.join(args.model_save_dir,
+                                                  "ckpt"))
+            if path:
+                params = restore_checkpoint(path)["params"]
+        miou = evaluate_miou(seg, params, val_loader, cfg["num_classes"],
+                             size)
+        print({"mIoU": miou})
+        return miou
+
+    train_loader = create_segmentation_loader(
+        data_dir, "training", cfg.get("batch_size", 2), size,
+        training=True, num_classes=cfg["num_classes"],
+        num_workers=num_workers,
+        synthetic_samples=args.synthetic_samples)
 
     total = args.total_iters or cfg.get("total_iters", 160000)
     opt_cfg = cfg.get("optimizer", {})
@@ -92,6 +150,15 @@ def main(argv=None):
     tx = make_optimizer(lr, weight_decay=opt_cfg.get("weight_decay", 0.01),
                         params=params)
     state = TrainState.create(params, tx)
+    if args.resume and args.model_save_dir:
+        path = latest_checkpoint(os.path.join(args.model_save_dir, "ckpt"))
+        if path:
+            restored = restore_checkpoint(path, template={
+                "params": state.params, "opt_state": state.opt_state,
+                "step": np.asarray(0)})
+            state = state.replace(params=restored["params"],
+                                  opt_state=restored["opt_state"],
+                                  step=jnp.asarray(int(restored["step"])))
 
     @jax.jit
     def train_step(state, batch, rng):
@@ -104,13 +171,12 @@ def main(argv=None):
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads), {"train_loss": loss}
 
-    data = SyntheticSegData(args.synthetic_samples, size,
-                            cfg["num_classes"])
-    step_count = 0
-    batch_size = cfg.get("batch_size", 2)
+    logger = (CSVLogger(os.path.join(args.model_save_dir, "log.csv"))
+              if args.model_save_dir else None)
     rng = jax.random.PRNGKey(cfg.get("seed", 0))
+    step_count = int(state.step)
     while step_count < total:
-        for batch in data.batches(batch_size):
+        for batch in train_loader:
             if step_count >= total:
                 break
             state, m = train_step(state, shard_fn(batch), rng)
@@ -118,11 +184,22 @@ def main(argv=None):
             if step_count % 50 == 0 or step_count == total:
                 print({"iter": step_count,
                        "train_loss": float(m["train_loss"])})
+            if step_count % args.eval_every == 0 or step_count == total:
+                miou = evaluate_miou(seg, state.params, val_loader,
+                                     cfg["num_classes"], size)
+                row = {"iter": step_count, "mIoU": miou,
+                       "train_loss": float(m["train_loss"])}
+                print(row)
+                if logger:
+                    logger.log(row)
+                if args.model_save_dir:
+                    save_checkpoint(
+                        os.path.join(args.model_save_dir, "ckpt"), state)
         else:
             continue
         break
     if args.model_save_dir:
-        save_checkpoint(args.model_save_dir + "/ckpt", state)
+        save_checkpoint(os.path.join(args.model_save_dir, "ckpt"), state)
     return state
 
 

@@ -107,15 +107,17 @@ class DataLoader:
                 return
             yield list(chunk)
 
-    def _load_batch(self, batch_idx: List[int], epoch: int):
+    def _load_batch(self, batch_idx: List[int], epoch: int) -> dict:
+        """Decode + transform one batch → dict of stacked arrays.
+        Subclasses (e.g. detection) override this collate."""
         imgs, labels = [], []
         for j in batch_idx:
             img, label = self.dataset.load(int(j))
             rng = random.Random(hash((self.seed, epoch, int(j))))
             imgs.append(self.transform(img, rng))
             labels.append(label)
-        return (np.stack(imgs).astype(np.float32),
-                np.asarray(labels, np.int64))
+        return {"image": np.stack(imgs).astype(np.float32),
+                "label": np.asarray(labels, np.int64)}
 
     def __iter__(self):
         """num_workers decode+augment threads over whole batches; results
@@ -177,7 +179,7 @@ class DataLoader:
                     item = results.pop(bi)
                     next_out[0] = bi + 1
                     cond.notify_all()
-                yield {"image": item[0], "label": item[1]}
+                yield item
         finally:
             with cond:
                 if error[0] is None:

@@ -1,5 +1,11 @@
 from fastvim_tpu.models.blocks import Block, rotate_grid
 from fastvim_tpu.models.channel import ChannelVisionMamba
+from fastvim_tpu.models.detection import (
+    CascadeMaskRCNN,
+    FCNMaskHead,
+    RPNHead,
+    Shared2FCBBoxHead,
+)
 from fastvim_tpu.models.heads import ChannelLayerNorm, SimpleFPN
 from fastvim_tpu.models.mae import MaskedAutoencoderVim
 from fastvim_tpu.models.mixer import MambaMixer
@@ -14,12 +20,16 @@ from fastvim_tpu.models.vision_mamba import VisionMamba
 
 __all__ = [
     "Block",
+    "CascadeMaskRCNN",
     "ChannelLayerNorm",
     "ChannelVisionMamba",
     "FCNHead",
+    "FCNMaskHead",
     "MambaMixer",
     "MaskedAutoencoderVim",
     "PatchEmbed",
+    "RPNHead",
+    "Shared2FCBBoxHead",
     "SimpleFPN",
     "UPerHead",
     "UperNetSegmentor",

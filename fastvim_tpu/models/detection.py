@@ -1,0 +1,399 @@
+"""ViTDet cascade Mask R-CNN detection harness, TPU-native.
+
+Re-design of the reference's mmdetection stack
+(detection/configs/_base_/models/cascade-mask-rcnn_r50_fpn.py, driven by
+detection/tools/train.py) as static-shape jit-compatible JAX: the
+backbone's single stride-16 map feeds SimpleFPN (models/heads.py, ref
+vitdet/simple_fpn.py), an RPN with sigmoid-BCE/SmoothL1(β=1/9) losses,
+three cascade Shared2FC bbox stages with progressively tighter IoU
+assignment (0.5/0.6/0.7), per-stage target stds and stage loss weights
+(1/0.5/0.25), and a shared FCN mask head trained on each stage's
+positives. All box sets are fixed-size with validity masks (no dynamic
+shapes under jit); samplers consume an explicit flax RNG stream
+("sampler").
+
+Ground truth enters padded: boxes (B, G, 4) xyxy, labels (B, G),
+masks (B, G, H, W) {0,1}, gt_valid (B, G) bool.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from fastvim_tpu.models.heads import SimpleFPN
+from fastvim_tpu.ops.boxes import (
+    delta_decode,
+    delta_encode,
+    generate_anchors,
+    max_iou_assign,
+    multilevel_roi_align,
+    nms,
+    random_sample,
+    roi_align,
+)
+
+Array = jax.Array
+
+# cascade recipe constants (cascade-mask-rcnn_r50_fpn.py)
+STAGE_IOUS = (0.5, 0.6, 0.7)
+STAGE_STDS = ((0.1, 0.1, 0.2, 0.2), (0.05, 0.05, 0.1, 0.1),
+              (0.033, 0.033, 0.067, 0.067))
+STAGE_WEIGHTS = (1.0, 0.5, 0.25)
+FPN_STRIDES = (4, 8, 16, 32, 64)
+ROI_STRIDES = (4, 8, 16, 32)
+
+
+def smooth_l1(pred: Array, target: Array, beta: float) -> Array:
+    diff = jnp.abs(pred - target)
+    return jnp.where(diff < beta, 0.5 * diff * diff / beta,
+                     diff - 0.5 * beta)
+
+
+class RPNHead(nn.Module):
+    """Shared 3×3 conv + 1×1 objectness/delta heads per pyramid level
+    (mmdet RPNHead; anchors: scales=[8], ratios=[0.5,1,2])."""
+
+    num_anchors: int = 3
+    feat_channels: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[Array]):
+        conv = nn.Conv(self.feat_channels, (3, 3), padding="SAME",
+                       dtype=self.dtype, name="rpn_conv")
+        cls = nn.Conv(self.num_anchors, (1, 1), dtype=self.dtype,
+                      name="rpn_cls")
+        reg = nn.Conv(self.num_anchors * 4, (1, 1), dtype=self.dtype,
+                      name="rpn_reg")
+        logits, deltas = [], []
+        for f in feats:
+            h = jax.nn.relu(conv(f))
+            B = h.shape[0]
+            logits.append(cls(h).reshape(B, -1))
+            deltas.append(reg(h).reshape(B, -1, 4))
+        return jnp.concatenate(logits, 1), jnp.concatenate(deltas, 1)
+
+
+class Shared2FCBBoxHead(nn.Module):
+    """flatten(7·7·256) → fc1024 → fc1024 → {cls (C+1), reg 4}
+    (mmdet Shared2FCBBoxHead, reg_class_agnostic=True)."""
+
+    num_classes: int
+    fc_out: int = 1024
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, roi_feats: Array):
+        x = roi_feats.reshape(roi_feats.shape[0], -1)
+        x = jax.nn.relu(nn.Dense(self.fc_out, dtype=self.dtype,
+                                 name="fc1")(x))
+        x = jax.nn.relu(nn.Dense(self.fc_out, dtype=self.dtype,
+                                 name="fc2")(x))
+        cls = nn.Dense(self.num_classes + 1, dtype=self.dtype,
+                       name="cls")(x)
+        reg = nn.Dense(4, dtype=self.dtype, name="reg")(x)
+        return cls, reg
+
+
+class FCNMaskHead(nn.Module):
+    """4× conv3×3(256) → deconv2×2 ↑2 → 1×1 per-class mask logits
+    (mmdet FCNMaskHead, num_convs=4, 14² RoI → 28² masks)."""
+
+    num_classes: int
+    channels: int = 256
+    num_convs: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, roi_feats: Array) -> Array:
+        x = roi_feats
+        for i in range(self.num_convs):
+            x = jax.nn.relu(nn.Conv(self.channels, (3, 3), padding="SAME",
+                                    dtype=self.dtype, name=f"conv{i}")(x))
+        x = jax.nn.relu(nn.ConvTranspose(self.channels, (2, 2),
+                                         strides=(2, 2), dtype=self.dtype,
+                                         name="upsample")(x))
+        return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                       name="logits")(x)
+
+
+class CascadeMaskRCNN(nn.Module):
+    """Backbone → SimpleFPN → RPN → 3-stage cascade + mask head.
+
+    ``backbone`` must return a single NHWC stride-16 feature map when
+    applied (VisionMamba with out_indices=[depth-1] returns a 1-tuple).
+    Sampling sizes are static config so tiny test configs stay cheap.
+    """
+
+    backbone: nn.Module
+    num_classes: int = 80
+    backbone_channel: int = 768
+    fpn_channels: int = 256
+    img_size: int = 1024
+    # RPN sampling / proposals
+    rpn_sample: int = 256
+    nms_pre: int = 1000
+    num_proposals: int = 512
+    # RCNN sampling
+    rcnn_sample: int = 512
+    mask_size: int = 28
+    dtype: Any = jnp.float32
+
+    def _feats(self, images: Array, deterministic: bool):
+        out = self.backbone_apply(images, deterministic)
+        fpn = SimpleFPN(backbone_channel=self.backbone_channel,
+                        out_channels=self.fpn_channels, dtype=self.dtype,
+                        name="neck")(out)
+        return fpn
+
+    def backbone_apply(self, images, deterministic):
+        out = self.backbone(images, deterministic=deterministic)
+        if isinstance(out, (tuple, list)):
+            out = out[-1]
+        return out
+
+    def _anchors(self, feats) -> Array:
+        sizes = [(f.shape[1], f.shape[2]) for f in feats]
+        return jnp.asarray(generate_anchors(sizes, FPN_STRIDES))
+
+    def _level_slices(self, feats):
+        sizes = [f.shape[1] * f.shape[2] * 3 for f in feats]
+        offs = np.concatenate([[0], np.cumsum(sizes)])
+        return [(int(offs[i]), int(offs[i + 1]))
+                for i in range(len(sizes))]
+
+    def _proposals(self, anchors, logits_i, deltas_i, slices):
+        """Per-level top-k → joint static NMS → (num_proposals, 4) +
+        valid (mmdet rpn_proposal: nms_pre, iou 0.7)."""
+        top_boxes, top_scores = [], []
+        for (a, b) in slices:
+            k = min(self.nms_pre, b - a)
+            sc = logits_i[a:b]
+            idx = jax.lax.top_k(sc, k)[1]
+            boxes = delta_decode(anchors[a:b][idx], deltas_i[a:b][idx],
+                                 max_shape=(self.img_size, self.img_size))
+            top_boxes.append(boxes)
+            top_scores.append(sc[idx])
+        boxes = jnp.concatenate(top_boxes)
+        scores = jnp.concatenate(top_scores)
+        # drop degenerate boxes
+        wh_ok = ((boxes[:, 2] - boxes[:, 0]) > 1e-3) & \
+            ((boxes[:, 3] - boxes[:, 1]) > 1e-3)
+        scores = jnp.where(wh_ok, scores, -jnp.inf)
+        keep, valid = nms(boxes, scores, 0.7, self.num_proposals)
+        return boxes[keep], valid
+
+    # ------------------------------------------------------------------
+    @nn.compact
+    def __call__(self, images: Array, gt_boxes: Optional[Array] = None,
+                 gt_labels: Optional[Array] = None,
+                 gt_masks: Optional[Array] = None,
+                 gt_valid: Optional[Array] = None,
+                 deterministic: bool = True):
+        train = gt_boxes is not None
+        feats = self._feats(images, deterministic)
+        rpn_logits, rpn_deltas = RPNHead(dtype=self.dtype,
+                                         name="rpn")(feats)
+        anchors = self._anchors(feats)
+        slices = self._level_slices(feats)
+        B = images.shape[0]
+
+        bbox_heads = [Shared2FCBBoxHead(self.num_classes, dtype=self.dtype,
+                                        name=f"bbox_head_{s}")
+                      for s in range(3)]
+        mask_head = FCNMaskHead(self.num_classes, dtype=self.dtype,
+                                name="mask_head")
+
+        if not train:
+            return self._predict(feats, anchors, slices, rpn_logits,
+                                 rpn_deltas, bbox_heads, mask_head)
+
+        # ---------------- RPN losses ----------------
+        losses = {}
+        rpn_cls_l, rpn_reg_l = [], []
+        proposals, prop_valid = [], []
+        for i in range(B):
+            assigned = max_iou_assign(anchors, gt_boxes[i], gt_valid[i],
+                                      pos_iou_thr=0.7, neg_iou_thr=0.3,
+                                      min_pos_iou=0.3,
+                                      match_low_quality=True)
+            rng = self.make_rng("sampler")
+            idx, is_pos, valid = random_sample(rng, assigned,
+                                               self.rpn_sample, 0.5)
+            tgt = jnp.where(is_pos, 1.0, 0.0)
+            logit = rpn_logits[i][idx]
+            bce = jnp.maximum(logit, 0) - logit * tgt + \
+                jnp.log1p(jnp.exp(-jnp.abs(logit)))
+            denom = jnp.maximum(valid.sum(), 1)
+            rpn_cls_l.append(jnp.sum(bce * valid) / denom)
+            g = jnp.clip(assigned[idx], 0)
+            reg_t = delta_encode(anchors[idx],
+                                 gt_boxes[i][g])
+            reg = smooth_l1(rpn_deltas[i][idx], reg_t, beta=1.0 / 9.0)
+            rpn_reg_l.append(
+                jnp.sum(reg.sum(-1) * (is_pos & valid)) / denom)
+            pb, pv = self._proposals(anchors, rpn_logits[i],
+                                     jax.lax.stop_gradient(rpn_deltas[i]),
+                                     slices)
+            proposals.append(jax.lax.stop_gradient(pb))
+            prop_valid.append(pv)
+        losses["rpn_cls"] = jnp.mean(jnp.stack(rpn_cls_l))
+        losses["rpn_reg"] = jnp.mean(jnp.stack(rpn_reg_l))
+
+        # ---------------- cascade stages ----------------
+        G = gt_boxes.shape[1]
+        props = jnp.stack(proposals)          # (B, P, 4)
+        pvalid = jnp.stack(prop_valid)        # (B, P)
+        for s in range(3):
+            stds = STAGE_STDS[s]
+            rois_all, feats_all = [], []
+            labels_all, regt_all, pos_all, valid_all, gidx_all = \
+                [], [], [], [], []
+            for i in range(B):
+                cand = jnp.concatenate([props[i], gt_boxes[i]])
+                cand_valid = jnp.concatenate([pvalid[i], gt_valid[i]])
+                assigned = max_iou_assign(
+                    cand, gt_boxes[i], gt_valid[i],
+                    pos_iou_thr=STAGE_IOUS[s], neg_iou_thr=STAGE_IOUS[s],
+                    min_pos_iou=STAGE_IOUS[s], match_low_quality=False)
+                assigned = jnp.where(cand_valid, assigned, -2)
+                rng = self.make_rng("sampler")
+                idx, is_pos, valid = random_sample(
+                    rng, assigned, self.rcnn_sample, 0.25)
+                rois = cand[idx]
+                g = jnp.clip(assigned[idx], 0)
+                lbl = jnp.where(is_pos, gt_labels[i][g],
+                                self.num_classes)
+                regt = delta_encode(rois, gt_boxes[i][g], stds=stds)
+                rfeat = multilevel_roi_align(
+                    [feats[l][i] for l in range(4)], rois, 7,
+                    ROI_STRIDES)
+                rois_all.append(rois)
+                feats_all.append(rfeat)
+                labels_all.append(lbl)
+                regt_all.append(regt)
+                pos_all.append(is_pos)
+                valid_all.append(valid)
+                gidx_all.append(g)
+            roi_feats = jnp.concatenate(feats_all)   # (B*N, 7, 7, C)
+            cls_logits, reg = bbox_heads[s](roi_feats)
+            labels = jnp.concatenate(labels_all)
+            valid = jnp.concatenate(valid_all)
+            is_pos = jnp.concatenate(pos_all)
+            regt = jnp.concatenate(regt_all)
+            denom = jnp.maximum(valid.sum(), 1)
+            ce = -jax.nn.log_softmax(cls_logits.astype(jnp.float32))[
+                jnp.arange(labels.shape[0]), labels]
+            losses[f"s{s}_cls"] = STAGE_WEIGHTS[s] * \
+                jnp.sum(ce * valid) / denom
+            rl = smooth_l1(reg.astype(jnp.float32), regt, beta=1.0)
+            losses[f"s{s}_reg"] = STAGE_WEIGHTS[s] * \
+                jnp.sum(rl.sum(-1) * (is_pos & valid)) / denom
+
+            # mask branch on this stage's positives (shared head)
+            mrois, mlab, mpos = [], [], []
+            mtargets = []
+            for i in range(B):
+                rois = rois_all[i]
+                g = gidx_all[i]
+                rfeat14 = multilevel_roi_align(
+                    [feats[l][i] for l in range(4)], rois, 14,
+                    ROI_STRIDES)
+                mrois.append(rfeat14)
+                mlab.append(labels_all[i])
+                mpos.append(pos_all[i] & valid_all[i])
+                sel_masks = gt_masks[i][g]  # (N, H, W)
+                crop = jax.vmap(
+                    lambda m, r: roi_align(m[..., None], r[None],
+                                           self.mask_size, 1.0)[0, ..., 0]
+                )(sel_masks.astype(jnp.float32), rois)
+                mtargets.append((crop > 0.5).astype(jnp.float32))
+            mask_logits = mask_head(jnp.concatenate(mrois))
+            mlab = jnp.concatenate(mlab)
+            mpos = jnp.concatenate(mpos)
+            mt = jnp.concatenate(mtargets)
+            sel = jnp.take_along_axis(
+                mask_logits,
+                jnp.clip(mlab, 0, self.num_classes - 1)[
+                    :, None, None, None], axis=-1)[..., 0]
+            sel = sel.astype(jnp.float32)
+            mbce = jnp.maximum(sel, 0) - sel * mt + \
+                jnp.log1p(jnp.exp(-jnp.abs(sel)))
+            losses[f"s{s}_mask"] = STAGE_WEIGHTS[s] * \
+                jnp.sum(mbce.mean(axis=(1, 2)) * mpos) / \
+                jnp.maximum(mpos.sum(), 1)
+
+            # refine proposals for the next stage (class-agnostic reg)
+            if s < 2:
+                reg_b = jax.lax.stop_gradient(
+                    reg.reshape(B, self.rcnn_sample, 4))
+                rois_b = jnp.stack(rois_all)
+                props = delta_decode(
+                    rois_b, reg_b, stds=stds,
+                    max_shape=(self.img_size, self.img_size))
+                pvalid = jnp.stack(valid_all)
+
+        losses["loss"] = functools.reduce(
+            jnp.add, [v for k, v in losses.items() if k != "loss"])
+        return losses
+
+    # ------------------------------------------------------------------
+    def _predict(self, feats, anchors, slices, rpn_logits, rpn_deltas,
+                 bbox_heads, mask_head, max_per_img: int = 100):
+        """Cascade inference: refine proposals through the 3 stages,
+        average the per-stage class scores, class-wise NMS, mask head on
+        the survivors. Returns dict of padded (B, max_per_img, …) arrays
+        + validity."""
+        B = rpn_logits.shape[0]
+        out = {"boxes": [], "scores": [], "labels": [], "valid": [],
+               "masks": []}
+        for i in range(B):
+            props, pvalid = self._proposals(anchors, rpn_logits[i],
+                                            rpn_deltas[i], slices)
+            scores_sum = 0.0
+            rois = props
+            for s in range(3):
+                rfeat = multilevel_roi_align(
+                    [feats[l][i] for l in range(4)], rois, 7,
+                    ROI_STRIDES)
+                cls_logits, reg = bbox_heads[s](rfeat)
+                scores_sum = scores_sum + jax.nn.softmax(
+                    cls_logits.astype(jnp.float32), -1)
+                rois = delta_decode(rois, reg, stds=STAGE_STDS[s],
+                                    max_shape=(self.img_size,
+                                               self.img_size))
+            probs = (scores_sum / 3.0)[:, :self.num_classes]  # drop bg
+            # class-wise NMS via coordinate offsetting, on the top
+            # candidates only (a P·C NMS would need a (P·C)² IoU matrix)
+            P = rois.shape[0]
+            flat_scores = jnp.where(pvalid[:, None], probs,
+                                    -jnp.inf).reshape(-1)
+            K = min(4 * max_per_img, P * self.num_classes)
+            top_scores, top_idx = jax.lax.top_k(flat_scores, K)
+            cand_boxes = rois[top_idx // self.num_classes]
+            cand_labels = top_idx % self.num_classes
+            offset = cand_labels.astype(rois.dtype)[:, None] * \
+                (2.0 * self.img_size)
+            keep, valid = nms(cand_boxes + offset, top_scores, 0.5,
+                              max_per_img)
+            boxes = cand_boxes[keep]
+            scores = top_scores[keep]
+            valid = valid & (scores > 0.05)
+            labels = cand_labels[keep]
+            rfeat14 = multilevel_roi_align(
+                [feats[l][i] for l in range(4)], boxes, 14, ROI_STRIDES)
+            mlogits = mask_head(rfeat14)
+            masks = jax.nn.sigmoid(jnp.take_along_axis(
+                mlogits, labels[:, None, None, None], axis=-1)[..., 0])
+            out["boxes"].append(boxes)
+            out["scores"].append(jnp.where(valid, scores, 0.0))
+            out["labels"].append(labels)
+            out["valid"].append(valid)
+            out["masks"].append(masks)
+        return {k: jnp.stack(v) for k, v in out.items()}

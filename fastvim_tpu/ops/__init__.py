@@ -1,3 +1,14 @@
+from fastvim_tpu.ops.boxes import (
+    box_iou,
+    delta_decode,
+    delta_encode,
+    generate_anchors,
+    max_iou_assign,
+    multilevel_roi_align,
+    nms,
+    random_sample,
+    roi_align,
+)
 from fastvim_tpu.ops.conv import (
     anticausal_conv1d,
     causal_conv1d,
@@ -17,6 +28,15 @@ from fastvim_tpu.ops.state_update import selective_state_update
 
 __all__ = [
     "add_norm",
+    "box_iou",
+    "delta_decode",
+    "delta_encode",
+    "generate_anchors",
+    "max_iou_assign",
+    "multilevel_roi_align",
+    "nms",
+    "random_sample",
+    "roi_align",
     "anticausal_conv1d",
     "broadcast_grid",
     "broadcast_tokens",

@@ -212,15 +212,9 @@ def selective_scan(
     elif impl == "pallas":
         from fastvim_tpu.ops.pallas.selective_scan import selective_scan_pallas
 
-        if reverse:
-            # kernel is forward-only for now: flip-wrap (Vim baseline path)
-            y = selective_scan_pallas(
-                u[:, ::-1], delta[:, ::-1], A, B[:, ::-1], C[:, ::-1], D=D,
-                delta_bias=delta_bias, delta_softplus=delta_softplus)
-            return y[:, ::-1]
         return selective_scan_pallas(
             u, delta, A, B, C, D=D, delta_bias=delta_bias,
-            delta_softplus=delta_softplus,
+            delta_softplus=delta_softplus, reverse=reverse,
         )
     else:
         raise ValueError(f"unknown impl {impl!r}")

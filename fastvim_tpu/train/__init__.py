@@ -7,12 +7,18 @@ from fastvim_tpu.train.mixup import (
 )
 from fastvim_tpu.train.optim import (
     ema_update,
+    vitdet_layer_decay_scales,
     layer_decay_scales,
     make_optimizer,
     make_sgd,
     wd_mask,
 )
-from fastvim_tpu.train.schedules import constant, cosine_with_warmup, scale_lr
+from fastvim_tpu.train.schedules import (
+    constant,
+    cosine_with_warmup,
+    scale_lr,
+    warmup_multistep,
+)
 from fastvim_tpu.train.state import TrainState
 from fastvim_tpu.train.trainer import (
     make_mae_train_step,
@@ -37,5 +43,7 @@ __all__ = [
     "one_hot_smooth",
     "scale_lr",
     "soft_target_cross_entropy",
+    "vitdet_layer_decay_scales",
+    "warmup_multistep",
     "wd_mask",
 ]

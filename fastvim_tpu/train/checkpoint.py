@@ -80,6 +80,7 @@ def load_pretrained_backbone(
     new_grid=None,
     old_grid=None,
     scanpath_type: str = "rowwise",
+    subtree: str = None,
 ) -> Any:
     """Cross-stage transfer with surgery (models/fastvim.py:601-643,779-817):
 
@@ -87,6 +88,10 @@ def load_pretrained_backbone(
     * bicubic pos-embed interpolation between token grids
     * prune mismatched-shape leaves (patch-size changes) keeping the
       target's init for those
+    * ``subtree``: graft a standalone-backbone checkpoint under a wrapper
+      module (e.g. "backbone" inside CascadeMaskRCNN — the det/seg
+      ``cfg.model.backbone.pretrained`` injection, detection/tools/
+      train.py:63-68)
     """
     restored = restore_checkpoint(path)
     src = restored.get("ema_params") if prefer_ema else None
@@ -97,6 +102,10 @@ def load_pretrained_backbone(
 
     flat_t = dict(jax.tree_util.tree_flatten_with_path(target_params)[0])
     flat_s = dict(jax.tree_util.tree_flatten_with_path(src)[0])
+    if subtree:
+        ins = jax.tree_util.DictKey(subtree)
+        flat_s = {(k[0], ins) + tuple(k[1:]): v
+                  for k, v in flat_s.items()}
 
     out = {}
     loaded, skipped = 0, 0

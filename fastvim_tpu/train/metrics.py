@@ -30,6 +30,75 @@ def miou_from_confusion(cm: Array) -> Array:
     return jnp.sum(iou * present) / jnp.maximum(jnp.sum(present), 1)
 
 
+def box_average_precision(predictions, ground_truths,
+                          iou_thr: float = 0.5,
+                          num_classes: int = 80) -> float:
+    """COCO-style (single-IoU) mean AP over classes, host-side numpy.
+
+    predictions: list per image of dicts with "boxes" (N,4), "scores"
+    (N,), "labels" (N,), optional "valid" (N,) — the padded output of
+    CascadeMaskRCNN's predict path. ground_truths: list per image of
+    dicts with "boxes" (G,4), "labels" (G,), optional "valid".
+    All-point-interpolated AP per class, averaged over classes that have
+    ground truth (the mmdet CocoMetric bbox mAP at one threshold)."""
+    import numpy as np
+
+    def _np(x):
+        return np.asarray(x)
+
+    aps = []
+    for c in range(num_classes):
+        # gather per-image gt of class c
+        gts = []
+        n_gt = 0
+        for g in ground_truths:
+            valid = _np(g.get("valid", np.ones(len(_np(g["boxes"])),
+                                               bool)))
+            m = (_np(g["labels"]) == c) & valid
+            gts.append(_np(g["boxes"])[m])
+            n_gt += int(m.sum())
+        if n_gt == 0:
+            continue
+        # gather predictions of class c across images
+        rows = []  # (score, img_idx, box)
+        for i, p in enumerate(predictions):
+            valid = _np(p.get("valid", np.ones(len(_np(p["boxes"])),
+                                               bool)))
+            m = (_np(p["labels"]) == c) & valid
+            for b, s in zip(_np(p["boxes"])[m], _np(p["scores"])[m]):
+                rows.append((float(s), i, b))
+        rows.sort(key=lambda r: -r[0])
+        matched = [np.zeros(len(g), bool) for g in gts]
+        tp = np.zeros(len(rows))
+        fp = np.zeros(len(rows))
+        for k, (_, i, box) in enumerate(rows):
+            g = gts[i]
+            if len(g) == 0:
+                fp[k] = 1
+                continue
+            ious = np.asarray(box_iou(jnp.asarray(box[None]),
+                                      jnp.asarray(g)))[0]
+            j = int(ious.argmax())
+            if ious[j] >= iou_thr and not matched[i][j]:
+                tp[k] = 1
+                matched[i][j] = True
+            else:
+                fp[k] = 1
+        ctp = np.cumsum(tp)
+        cfp = np.cumsum(fp)
+        recall = ctp / n_gt
+        precision = ctp / np.maximum(ctp + cfp, 1e-9)
+        # all-point interpolation
+        mprec = np.concatenate([[0.0], precision, [0.0]])
+        mrec = np.concatenate([[0.0], recall, [1.0]])
+        for k in range(len(mprec) - 2, -1, -1):
+            mprec[k] = max(mprec[k], mprec[k + 1])
+        idx = np.where(mrec[1:] != mrec[:-1])[0]
+        aps.append(float(np.sum((mrec[idx + 1] - mrec[idx])
+                                * mprec[idx + 1])))
+    return float(np.mean(aps)) if aps else 0.0
+
+
 def box_iou(a: Array, b: Array) -> Array:
     """IoU matrix between (N,4) and (M,4) xyxy boxes."""
     area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])

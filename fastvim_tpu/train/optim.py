@@ -76,6 +76,32 @@ def layer_decay_scales(params, layer_decay: float, depth: int) -> Any:
     return jax.tree_util.tree_map_with_path(leaf_scale, params)
 
 
+def vitdet_layer_decay_scales(params, decay_rate: float,
+                              num_layers: int) -> Any:
+    """Per-leaf LR scale pytree with the ViTDet rule
+    (detection/vitdet/layer_decay_optimizer_constructor.py:12-108):
+    layer ids are patch_embed/pos_embed → 0, backbone block i → i+1,
+    everything outside the backbone (neck, rpn, heads) →
+    num_layers + 1; scale = decay^(num_layers + 1 - layer_id).
+    Distinct from the MAE alternate-layer rule (layer_decay_scales):
+    every backbone layer gets its own decay power."""
+
+    def leaf_scale(path, leaf):
+        name = _path_str(path)
+        if "backbone" in name:
+            if "pos_embed" in name or "cls_token" in name or \
+                    "patch_embed" in name:
+                lid = 0
+            else:
+                m = re.search(r"layers_(\d+)", name)
+                lid = int(m.group(1)) + 1 if m else num_layers + 1
+        else:
+            lid = num_layers + 1
+        return decay_rate ** (num_layers + 1 - lid)
+
+    return jax.tree_util.tree_map_with_path(leaf_scale, params)
+
+
 def scale_by_leaf(scales) -> optax.GradientTransformation:
     """Multiply updates by a static per-leaf scale pytree."""
 
@@ -100,6 +126,7 @@ def make_optimizer(
     grad_clip: Optional[float] = None,
     wd_schedule: Optional[Callable] = None,
     accum_steps: int = 1,
+    layer_scales: Optional[Any] = None,
 ) -> optax.GradientTransformation:
     """AdamW with the reference's grouping rules.
 
@@ -121,7 +148,11 @@ def make_optimizer(
             weight_decay=wd_schedule))
     else:
         chain.append(optax.add_decayed_weights(weight_decay, mask=mask))
-    if layer_decay is not None:
+    if layer_scales is not None:
+        # pre-built per-leaf scales (e.g. the ViTDet rule,
+        # vitdet_layer_decay_scales)
+        chain.append(scale_by_leaf(layer_scales))
+    elif layer_decay is not None:
         assert depth is not None
         chain.append(scale_by_leaf(
             layer_decay_scales(params, layer_decay, depth)))

@@ -60,6 +60,29 @@ def cosine_with_warmup(
     return schedule
 
 
+def warmup_multistep(base_value: float, warmup_steps: int,
+                     milestones, gamma: float = 0.1,
+                     warmup_start_factor: float = 0.001) -> Callable:
+    """LinearLR warmup + MultiStepLR decay — the detection recipe
+    (lsj-100e_coco-instance.py:101-113: 250-iter linear warmup from
+    0.001·lr, ×0.1 at the milestone iterations)."""
+    milestones = tuple(sorted(milestones))
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        if warmup_steps > 0:
+            frac = jnp.clip(step / warmup_steps, 0.0, 1.0)
+        else:
+            frac = jnp.ones_like(step)
+        warm = warmup_start_factor + (1.0 - warmup_start_factor) * frac
+        decay = jnp.ones_like(step)
+        for m in milestones:
+            decay = decay * jnp.where(step >= m, gamma, 1.0)
+        return base_value * warm * decay
+
+    return schedule
+
+
 def constant(value: float) -> Callable:
     def schedule(step):
         return jnp.full_like(jnp.asarray(step, jnp.float32), value)

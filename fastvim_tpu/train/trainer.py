@@ -82,7 +82,7 @@ def make_supervised_train_step(
         @functools.partial(
             shard_map, mesh=mesh_,
             in_specs=(P(), P("data"), P("data"), P()),
-            out_specs=(P(), P()), check_rep=False)
+            out_specs=(P(), P()), check_vma=False)
         def grads_sharded(params, images, soft, rng):
             (loss, _), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params, images, {"soft": soft}, rng)

@@ -163,3 +163,42 @@ def test_cli_extract_features(tiny_model_patch):
     ])
     assert len(feats) == 1
     assert feats[0].shape == (1, 2, 2, 32)
+
+
+def test_cli_train_detection(tmp_path, tiny_model_patch):
+    """End-to-end detection CLI: synthetic LSJ data → cascade losses →
+    a training step (mirrors detection/tools/train.py wiring)."""
+    from fastvim_tpu.cli.train_detection import main
+
+    state = main([
+        "--config_name", "vitdet_FastVimT_coco",
+        "--model_save_dir", str(tmp_path / "out"),
+        "--synthetic_samples", "4",
+        "img_size=64", "batch_size=2", "num_classes=3", "max_gt=4",
+        "training_epochs=1", "num_workers=1",
+        "out_indices=[1]", "grad_compression=null",
+        "det.rpn_sample=16", "det.nms_pre=32", "det.num_proposals=16",
+        "det.rcnn_sample=8", "milestones=[100]", "warmup_iters=2",
+    ])
+    assert int(state.step) >= 1
+    assert os.path.exists(tmp_path / "out" / "log.csv")
+
+
+def test_cli_train_segmentation_with_miou(tmp_path, tiny_model_patch):
+    """Seg CLI: synthetic data → train steps → mIoU eval at the end →
+    checkpoint; then the checkpoint-in → mIoU-out eval_only path."""
+    from fastvim_tpu.cli.train_segmentation import main
+
+    common = [
+        "--config_name", "upernet_FastVimT_ade20k",
+        "--model_save_dir", str(tmp_path / "out"),
+        "--synthetic_samples", "4",
+        "img_size=32", "batch_size=2", "num_classes=5",
+        "out_indices=[0,1]", "aux_index=1", "num_workers=1",
+        "eval_batch_size=1",
+    ]
+    state = main(common + ["--total_iters", "2", "--eval_every", "2"])
+    assert int(state.step) == 2
+    assert os.path.exists(tmp_path / "out" / "log.csv")
+    miou = main(common + ["--eval_only"])
+    assert 0.0 <= miou <= 1.0
