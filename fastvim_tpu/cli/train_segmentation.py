@@ -103,7 +103,10 @@ def main(argv=None):
         drop_path_rate=0.0, out_indices=tuple(cfg["out_indices"]))
     seg = UperNetSegmentor(
         backbone=backbone, num_classes=cfg["num_classes"],
-        aux_index=cfg.get("aux_index", 2))
+        aux_index=cfg.get("aux_index", 2),
+        # "bn" = the reference's SyncBN decode-head recipe
+        # (upernet_vim.py norm_cfg); "ln" is the documented default
+        norm=cfg.get("head_norm", "ln"))
 
     size = cfg["img_size"]
     x0 = jnp.zeros((2, size, size, 3))
@@ -160,16 +163,35 @@ def main(argv=None):
                                   opt_state=restored["opt_state"],
                                   step=jnp.asarray(int(restored["step"])))
 
+    has_bn = "batch_stats" in params
+
     @jax.jit
     def train_step(state, batch, rng):
-        def loss_fn(p):
-            logits, aux = seg.apply(
-                p, batch["image"], deterministic=False, with_aux=True,
-                rngs={"dropout": jax.random.fold_in(rng, state.step)})
-            return segmentation_loss(logits, batch["label"], aux)
+        rngs = {"dropout": jax.random.fold_in(rng, state.step)}
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        return state.apply_gradients(grads), {"train_loss": loss}
+        def loss_fn(pp):
+            variables = dict(state.params, params=pp)
+            if has_bn:
+                (logits, aux), upd = seg.apply(
+                    variables, batch["image"], deterministic=False,
+                    with_aux=True, rngs=rngs, mutable=["batch_stats"])
+                new_bs = upd["batch_stats"]
+            else:
+                logits, aux = seg.apply(
+                    variables, batch["image"], deterministic=False,
+                    with_aux=True, rngs=rngs)
+                new_bs = None
+            return segmentation_loss(logits, batch["label"], aux), new_bs
+
+        (loss, new_bs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params["params"])
+        grads = {**jax.tree_util.tree_map(jnp.zeros_like, state.params),
+                 "params": grads}
+        state = state.apply_gradients(grads)
+        if has_bn:
+            state = state.replace(
+                params={**state.params, "batch_stats": new_bs})
+        return state, {"train_loss": loss}
 
     logger = (CSVLogger(os.path.join(args.model_save_dir, "log.csv"))
               if args.model_save_dir else None)

@@ -28,13 +28,21 @@ def _resize(x: Array, hw: Tuple[int, int]) -> Array:
 class ConvModule(nn.Module):
     features: int
     kernel: int = 3
+    norm: str = "ln"  # "ln" (default) | "bn" (the reference recipe's
+    # SyncBN, upernet_vim.py norm_cfg — under sharded-batch SPMD the
+    # batch statistics are computed over the GLOBAL batch, i.e. SyncBN
+    # semantics come for free from XLA's collectives)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     padding="SAME", use_bias=False, dtype=self.dtype)(x)
-        x = nn.LayerNorm(dtype=self.dtype)(x)  # LN in place of frozen BN
+        if self.norm == "bn":
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype)(x)
+        else:
+            x = nn.LayerNorm(dtype=self.dtype)(x)
         return jax.nn.relu(x)
 
 
@@ -44,10 +52,11 @@ class PSPModule(nn.Module):
 
     pool_scales: Sequence[int] = (1, 2, 3, 6)
     channels: int = 512
+    norm: str = "ln"
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         B, H, W, C = x.shape
         outs = [x]
         for s in self.pool_scales:
@@ -55,8 +64,8 @@ class PSPModule(nn.Module):
             # map size for small inputs)
             ph, pw = max(H // min(s, H), 1), max(W // min(s, W), 1)
             pooled = nn.avg_pool(x, (ph, pw), strides=(ph, pw))
-            pooled = ConvModule(self.channels, kernel=1,
-                                dtype=self.dtype)(pooled)
+            pooled = ConvModule(self.channels, kernel=1, norm=self.norm,
+                                dtype=self.dtype)(pooled, train)
             outs.append(_resize(pooled, (H, W)))
         return jnp.concatenate(outs, axis=-1)
 
@@ -66,29 +75,34 @@ class UPerHead(nn.Module):
     channels: int = 512
     pool_scales: Sequence[int] = (1, 2, 3, 6)
     dropout: float = 0.1
+    norm: str = "ln"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feats: Sequence[Array], deterministic: bool = True):
         """feats: list of 4 NHWC maps (same or pyramid resolutions).
         Returns per-pixel logits at the first map's resolution."""
+        train = not deterministic
         # PSP on the deepest map
-        psp = PSPModule(self.pool_scales, self.channels,
-                        dtype=self.dtype)(feats[-1])
-        psp = ConvModule(self.channels, dtype=self.dtype)(psp)
+        psp = PSPModule(self.pool_scales, self.channels, norm=self.norm,
+                        dtype=self.dtype)(feats[-1], train)
+        psp = ConvModule(self.channels, norm=self.norm,
+                         dtype=self.dtype)(psp, train)
 
         # lateral convs + top-down fusion
-        laterals = [ConvModule(self.channels, kernel=1,
-                               dtype=self.dtype)(f)
+        laterals = [ConvModule(self.channels, kernel=1, norm=self.norm,
+                               dtype=self.dtype)(f, train)
                     for f in feats[:-1]] + [psp]
         for i in range(len(laterals) - 1, 0, -1):
             hw = laterals[i - 1].shape[1:3]
             laterals[i - 1] = laterals[i - 1] + _resize(laterals[i], hw)
-        outs = [ConvModule(self.channels, dtype=self.dtype)(l)
+        outs = [ConvModule(self.channels, norm=self.norm,
+                           dtype=self.dtype)(l, train)
                 for l in laterals[:-1]] + [laterals[-1]]
         hw = outs[0].shape[1:3]
         fused = jnp.concatenate([_resize(o, hw) for o in outs], axis=-1)
-        fused = ConvModule(self.channels, dtype=self.dtype)(fused)
+        fused = ConvModule(self.channels, norm=self.norm,
+                           dtype=self.dtype)(fused, train)
         if self.dropout > 0:
             fused = nn.Dropout(self.dropout)(fused,
                                              deterministic=deterministic)
@@ -101,11 +115,13 @@ class FCNHead(nn.Module):
     num_classes: int = 150
     channels: int = 256
     dropout: float = 0.1
+    norm: str = "ln"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True):
-        x = ConvModule(self.channels, dtype=self.dtype)(x)
+        x = ConvModule(self.channels, norm=self.norm,
+                       dtype=self.dtype)(x, not deterministic)
         if self.dropout > 0:
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype)(x)
@@ -117,18 +133,21 @@ class UperNetSegmentor(nn.Module):
     backbone: Any
     num_classes: int = 150
     aux_index: int = 2  # which backbone map feeds the aux head
+    norm: str = "ln"  # "bn" = the reference's SyncBN recipe
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, images: Array, deterministic: bool = True,
                  with_aux: bool = False):
         feats = self.backbone(images, deterministic=deterministic)
-        logits = UPerHead(num_classes=self.num_classes, dtype=self.dtype,
+        logits = UPerHead(num_classes=self.num_classes, norm=self.norm,
+                          dtype=self.dtype,
                           name="decode_head")(feats, deterministic)
         H, W = images.shape[1:3]
         logits = _resize(logits, (H, W))
         if with_aux:
-            aux = FCNHead(num_classes=self.num_classes, dtype=self.dtype,
+            aux = FCNHead(num_classes=self.num_classes, norm=self.norm,
+                          dtype=self.dtype,
                           name="aux_head")(feats[self.aux_index],
                                            deterministic)
             return logits, _resize(aux, (H, W))

@@ -51,3 +51,44 @@ def test_generate_shapes_and_determinism():
     out2 = generate(model, params, prompt, max_new_tokens=4,
                     temperature=0.0)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_lm_harness_loglikelihood_matches_manual():
+    """evals/lm_harness scoring: continuation logprob + is_greedy match a
+    hand-computed full-softmax score (the spec of lm_eval loglikelihood;
+    adapter mirrors evals/lm_harness_eval.py)."""
+    import numpy as np
+
+    from fastvim_tpu.evals import loglikelihood, loglikelihood_rolling
+    from fastvim_tpu.models.lm import MambaLMHeadModel
+
+    model = MambaLMHeadModel(vocab_size=32, d_model=16, n_layer=2,
+                             d_state=4)
+    toks = jnp.zeros((1, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), toks)
+
+    ctx = [3, 5, 7]
+    cont = [2, 9]
+    [(ll, greedy)] = loglikelihood(model, params, [(ctx, cont)])
+
+    full = jnp.asarray([ctx + cont], jnp.int32)
+    logits = model.apply(params, full[:, :-1])
+    logp = jax.nn.log_softmax(np.asarray(logits, np.float32), axis=-1)
+    expected = logp[0, 2, 2] + logp[0, 3, 9]
+    np.testing.assert_allclose(ll, float(expected), rtol=1e-5)
+    exp_greedy = (int(np.argmax(logp[0, 2])) == 2
+                  and int(np.argmax(logp[0, 3])) == 9)
+    assert greedy == exp_greedy
+
+    # rolling = loglikelihood of t[1:] given t[:1]
+    [r] = loglikelihood_rolling(model, params, [ctx + cont])
+    [(r2, _)] = loglikelihood(model, params, [([3], [5, 7, 2, 9])])
+    np.testing.assert_allclose(r, r2, rtol=1e-6)
+
+    # batching with ragged lengths agrees with single-pair calls
+    pairs = [(ctx, cont), ([1], [4, 6, 8]), ([2, 2, 2, 2, 2], [0])]
+    batched = loglikelihood(model, params, pairs, batch_size=3)
+    singles = [loglikelihood(model, params, [p])[0] for p in pairs]
+    for (a, ga), (b, gb) in zip(batched, singles):
+        np.testing.assert_allclose(a, b, rtol=1e-4)
+        assert ga == gb
