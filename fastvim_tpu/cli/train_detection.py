@@ -53,8 +53,34 @@ def build_model(cfg):
     return model, depth
 
 
+def evaluate_box_ap(model, params, val_loader, num_classes: int,
+                    iou_thr: float = 0.5) -> float:
+    """Box mAP@iou_thr over a loader (mmdet CocoMetric bbox counterpart,
+    single-threshold)."""
+    import jax as _jax
+    import numpy as np
+
+    from fastvim_tpu.train.metrics import box_average_precision
+
+    predict = _jax.jit(lambda p, x: model.apply(p, x))
+    preds, gts = [], []
+    for batch in val_loader:
+        out = predict(params, batch["image"])
+        B = batch["image"].shape[0]
+        for i in range(B):
+            preds.append({k: np.asarray(out[k][i])
+                          for k in ("boxes", "scores", "labels", "valid")})
+            gts.append({"boxes": np.asarray(batch["boxes"][i]),
+                        "labels": np.asarray(batch["labels"][i]),
+                        "valid": np.asarray(batch["gt_valid"][i])})
+    return box_average_precision(preds, gts, iou_thr, num_classes)
+
+
 def main(argv=None):
-    args = base_parser(__doc__).parse_args(argv)
+    p = base_parser(__doc__)
+    p.add_argument("--eval_only", action="store_true",
+                   help="checkpoint-in → box-AP-out, no training")
+    args = p.parse_args(argv)
     cfg = load_cli_config(args, "detection")
 
     from fastvim_tpu.data.detection import create_detection_loader
@@ -88,6 +114,31 @@ def main(argv=None):
         params = load_pretrained_backbone(
             cfg["pretrained_checkpoint_path"], params,
             prefer_ema=cfg.get("load_ema", True), subtree="backbone")
+
+    if args.eval_only:
+        import os
+
+        from fastvim_tpu.train.checkpoint import (
+            latest_checkpoint,
+            restore_checkpoint,
+        )
+
+        if args.model_save_dir:
+            path = latest_checkpoint(os.path.join(args.model_save_dir,
+                                                  "ckpt"))
+            if path:
+                params = restore_checkpoint(path)["params"]
+        val_loader = create_detection_loader(
+            cfg.get("data", {}).get("dir"), "val",
+            cfg.get("eval_batch_size", 1), cfg["img_size"],
+            training=False, max_gt=max_gt,
+            num_workers=cfg.get("num_workers", 4),
+            synthetic_samples=min(args.synthetic_samples, 8),
+            num_classes=cfg.get("num_classes", 80))
+        ap = evaluate_box_ap(model, params, val_loader,
+                             cfg.get("num_classes", 80))
+        print({"box_ap50": ap})
+        return ap
 
     steps_per_epoch = max(len(train_loader), 1)
     total_iters = cfg.get("total_iters", 184375)

@@ -202,3 +202,18 @@ def test_cli_train_segmentation_with_miou(tmp_path, tiny_model_patch):
     assert os.path.exists(tmp_path / "out" / "log.csv")
     miou = main(common + ["--eval_only"])
     assert 0.0 <= miou <= 1.0
+
+
+def test_cli_detection_eval_only(tmp_path, tiny_model_patch):
+    """Checkpoint-in → box-AP-out path (mmdet test.py counterpart)."""
+    from fastvim_tpu.cli.train_detection import main
+
+    ap = main([
+        "--config_name", "vitdet_FastVimT_coco",
+        "--synthetic_samples", "2", "--eval_only",
+        "img_size=64", "batch_size=1", "num_classes=3", "max_gt=4",
+        "num_workers=1", "out_indices=[1]", "grad_compression=null",
+        "det.rpn_sample=16", "det.nms_pre=32", "det.num_proposals=16",
+        "det.rcnn_sample=8",
+    ])
+    assert 0.0 <= ap <= 1.0
