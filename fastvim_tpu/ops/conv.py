@@ -81,6 +81,166 @@ def anticausal_conv1d(
     return y
 
 
+def dual_conv1d(
+    x: Array,
+    weight_c: Array, bias_c: Optional[Array],
+    weight_a: Array, bias_a: Optional[Array],
+    activation: Optional[str] = "silu",
+) -> tuple:
+    """Causal + anticausal depthwise convs of the SAME input in one pass.
+
+    The bidirectional mixer needs conv(x) for the forward branch and
+    anticausal-conv(x) for the reverse branch. Computing them separately
+    costs two reads of x and 8 shifted slices; here x is padded once on
+    both sides and the 7 distinct shifts are shared — XLA fuses both
+    outputs into one elementwise pipeline over x (measured win at 2048px,
+    see CLAUDE.md round-2 notes).
+    """
+    width, d = weight_c.shape
+    assert weight_a.shape == (width, d)
+    L = x.shape[1]
+    pad = width - 1
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+    shifts = [xp[:, j : j + L, :] for j in range(2 * pad + 1)]
+    yc = None
+    ya = None
+    for k in range(width):
+        # causal: y[t] += w_c[k] x[t-(w-1)+k]  → shift index k
+        tc = shifts[k] * weight_c[k][None, None, :]
+        yc = tc if yc is None else yc + tc
+        # anticausal: y[t] += w_a[w-1-j] x[t+j] → shift index pad+j
+        ta = shifts[pad + k] * weight_a[width - 1 - k][None, None, :]
+        ya = ta if ya is None else ya + ta
+    if bias_c is not None:
+        yc = yc + bias_c[None, None, :]
+    if bias_a is not None:
+        ya = ya + bias_a[None, None, :]
+    if activation == "silu":
+        yc = jax.nn.silu(yc)
+        ya = jax.nn.silu(ya)
+    elif activation is not None:
+        raise ValueError(f"unknown activation {activation!r}")
+    return yc, ya
+
+
+def grid_dual_conv1d(
+    x: Array,
+    weight_c: Array, bias_c: Optional[Array],
+    weight_a: Array, bias_a: Optional[Array],
+    grid: tuple,
+    axis: int,
+    activation: Optional[str] = "silu",
+) -> tuple:
+    """Causal + anticausal depthwise convs along a token GRID axis,
+    computed in raster layout via one 2-D depthwise convolution per
+    direction plus tiny boundary-wrap corrections.
+
+    ``axis=0``: conv along the TRANSPOSED raster (column-major order) —
+    FastVim's rotated odd layers. The reference (and our round-1 code)
+    materializes the transposed sequence (models/fastvim.py:192-211);
+    that cost two full-HBM relayouts per odd block (~13% of the 2048px
+    forward). Here XLA's native NHWC depthwise conv with a (width, 1)
+    filter does the vertical taps without materializing shifted copies,
+    and the cross-column wraparound (first/last width-1 rows of each
+    column take taps from the neighbouring column's far end) is a tiny
+    (B, width-1, W, d) correction.
+
+    ``axis=1``: conv along the ordinary raster — the even layers; a
+    (1, width) filter along W with cross-ROW wraparound corrections.
+    Replaces the flattened-L shifted-add formulation (whose sublane-shift
+    relayouts cost ~18%).
+
+    Exactly equal to the flat 1-D convs — locked by tests/test_ops.py.
+    Measured 66.2 → 74+ img/s @2048 (CLAUDE.md round-2 notes).
+    """
+    width, d = weight_c.shape
+    B, L, _ = x.shape
+    H, W = grid
+    assert H * W == L, (grid, L)
+    n_axis = grid[axis]
+    if n_axis < width:
+        # taps would wrap more than one line (degenerate ≤3-extent grids
+        # only — real models have ≥7-token grid axes): fall back to the
+        # flat formulation in the right order
+        if axis == 1:
+            return dual_conv1d(x, weight_c, bias_c, weight_a, bias_a,
+                               activation)
+        xt = x.reshape(B, H, W, d).swapaxes(1, 2).reshape(B, L, d)
+        yc, ya = dual_conv1d(xt, weight_c, bias_c, weight_a, bias_a,
+                             activation)
+        back = lambda y: y.reshape(B, W, H, d).swapaxes(1, 2).reshape(
+            B, L, d)
+        return back(yc), back(ya)
+    xg = x.reshape(B, H, W, d)
+    dn = ("NHWC", "HWIO", "NHWC")
+    if axis == 0:
+        filt_c = weight_c[:, None, None, :]        # (width, 1, 1, d)
+        filt_a = weight_a[::-1, None, None, :]
+        pad_c = [(width - 1, 0), (0, 0)]
+        pad_a = [(0, width - 1), (0, 0)]
+    else:
+        filt_c = weight_c[None, :, None, :]        # (1, width, 1, d)
+        filt_a = weight_a[None, ::-1, None, :]
+        pad_c = [(0, 0), (width - 1, 0)]
+        pad_a = [(0, 0), (0, width - 1)]
+    yc = jax.lax.conv_general_dilated(
+        xg, filt_c, window_strides=(1, 1), padding=pad_c,
+        feature_group_count=d, dimension_numbers=dn,
+        preferred_element_type=xg.dtype)
+    ya = jax.lax.conv_general_dilated(
+        xg, filt_a, window_strides=(1, 1), padding=pad_a,
+        feature_group_count=d, dimension_numbers=dn,
+        preferred_element_type=xg.dtype)
+    # boundary-wrap corrections along the conv axis, pulling from the
+    # neighbouring line on the OTHER axis
+    if axis == 0:
+        prev_end = jnp.pad(xg[:, H - (width - 1):, : W - 1],
+                           ((0, 0), (0, 0), (1, 0), (0, 0)))
+        next_start = jnp.pad(xg[:, : width - 1, 1:],
+                             ((0, 0), (0, 0), (0, 1), (0, 0)))
+        sel = lambda t, r: t[:, r]              # (B, W, d)
+    else:
+        prev_end = jnp.pad(xg[:, : H - 1, W - (width - 1):],
+                           ((0, 0), (1, 0), (0, 0), (0, 0)))
+        next_start = jnp.pad(xg[:, 1:, : width - 1],
+                             ((0, 0), (0, 1), (0, 0), (0, 0)))
+        sel = lambda t, r: t[:, :, r]           # (B, H, d)
+    cc = []
+    ca = []
+    for h in range(width - 1):
+        fix_c = sum(weight_c[width - 1 - j][None, None, :]
+                    * sel(prev_end, width - 1 - (j - h))
+                    for j in range(h + 1, width))
+        cc.append(fix_c)
+        fix_a = sum(weight_a[width - 1 - j][None, None, :]
+                    * sel(next_start, h + j - (width - 1))
+                    for j in range(width - 1 - h, width))
+        ca.append(fix_a)
+    if axis == 0:
+        yc = yc.at[:, : width - 1].add(jnp.stack(cc, axis=1))
+        ya = ya.at[:, H - (width - 1):].add(jnp.stack(ca, axis=1))
+    else:
+        yc = yc.at[:, :, : width - 1].add(jnp.stack(cc, axis=2))
+        ya = ya.at[:, :, W - (width - 1):].add(jnp.stack(ca, axis=2))
+    if bias_c is not None:
+        yc = yc + bias_c[None, None, None, :]
+    if bias_a is not None:
+        ya = ya + bias_a[None, None, None, :]
+    if activation == "silu":
+        yc = jax.nn.silu(yc)
+        ya = jax.nn.silu(ya)
+    elif activation is not None:
+        raise ValueError(f"unknown activation {activation!r}")
+    return yc.reshape(B, L, d), ya.reshape(B, L, d)
+
+
+def transposed_dual_conv1d(x, weight_c, bias_c, weight_a, bias_a, grid,
+                           activation: Optional[str] = "silu"):
+    """Back-compat wrapper: the transposed-raster (axis 0) grid conv."""
+    return grid_dual_conv1d(x, weight_c, bias_c, weight_a, bias_a, grid,
+                            axis=0, activation=activation)
+
+
 def causal_conv1d_update(
     x: Array, conv_state: Array, weight: Array,
     bias: Optional[Array] = None, activation: Optional[str] = "silu",

@@ -109,3 +109,86 @@ def test_selective_state_update_matches_scan_step():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(state), np.asarray(last),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_transposed_dual_conv_equals_rotate_conv_unrotate():
+    """transposed_dual_conv1d == rotate → (anti)causal conv → unrotate,
+    for rectangular grids (the odd-layer FastVim conv without the two
+    full-HBM grid relayouts)."""
+    import numpy as np
+
+    from fastvim_tpu.models.blocks import rotate_grid
+    from fastvim_tpu.ops.conv import (
+        anticausal_conv1d,
+        causal_conv1d,
+        transposed_dual_conv1d,
+    )
+
+    rng = np.random.default_rng(0)
+    for H, W in [(5, 7), (4, 4), (1, 6), (6, 1)]:
+        d = 8
+        x = jnp.asarray(rng.standard_normal((2, H * W, d)), jnp.float32)
+        wc = jnp.asarray(rng.standard_normal((4, d)), jnp.float32)
+        bc = jnp.asarray(rng.standard_normal((d,)), jnp.float32)
+        wa = jnp.asarray(rng.standard_normal((4, d)), jnp.float32)
+        ba = jnp.asarray(rng.standard_normal((d,)), jnp.float32)
+
+        xt = rotate_grid(x, (H, W))
+        ref_c = rotate_grid(causal_conv1d(xt, wc, bc), (W, H))
+        ref_a = rotate_grid(anticausal_conv1d(xt, wa, ba), (W, H))
+        got_c, got_a = transposed_dual_conv1d(x, wc, bc, wa, ba, (H, W))
+        np.testing.assert_allclose(np.asarray(got_c), np.asarray(ref_c),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_a), np.asarray(ref_a),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_dual_conv_equals_separate_convs():
+    import numpy as np
+
+    from fastvim_tpu.ops.conv import (
+        anticausal_conv1d,
+        causal_conv1d,
+        dual_conv1d,
+    )
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 11, 8)), jnp.float32)
+    wc = jnp.asarray(rng.standard_normal((4, 8)), jnp.float32)
+    wa = jnp.asarray(rng.standard_normal((4, 8)), jnp.float32)
+    bc = jnp.asarray(rng.standard_normal((8,)), jnp.float32)
+    yc, ya = dual_conv1d(x, wc, bc, wa, None)
+    np.testing.assert_allclose(np.asarray(yc),
+                               np.asarray(causal_conv1d(x, wc, bc)),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ya),
+                               np.asarray(anticausal_conv1d(x, wa, None)),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_grid_dual_conv_axis1_equals_flat():
+    """axis=1 (raster) grid conv == flat causal/anticausal conv over the
+    flattened sequence, incl. cross-row wraparound."""
+    import numpy as np
+
+    from fastvim_tpu.ops.conv import (
+        anticausal_conv1d,
+        causal_conv1d,
+        grid_dual_conv1d,
+    )
+
+    rng = np.random.default_rng(2)
+    for H, W in [(5, 7), (3, 6), (6, 1), (1, 9)]:
+        d = 8
+        x = jnp.asarray(rng.standard_normal((2, H * W, d)), jnp.float32)
+        wc = jnp.asarray(rng.standard_normal((4, d)), jnp.float32)
+        bc = jnp.asarray(rng.standard_normal((d,)), jnp.float32)
+        wa = jnp.asarray(rng.standard_normal((4, d)), jnp.float32)
+        got_c, got_a = grid_dual_conv1d(x, wc, bc, wa, None, (H, W),
+                                        axis=1)
+        np.testing.assert_allclose(
+            np.asarray(got_c), np.asarray(causal_conv1d(x, wc, bc)),
+            rtol=1e-5, atol=1e-5, err_msg=f"causal {H}x{W}")
+        np.testing.assert_allclose(
+            np.asarray(got_a), np.asarray(anticausal_conv1d(x, wa, None)),
+            rtol=1e-5, atol=1e-5, err_msg=f"anticausal {H}x{W}")
