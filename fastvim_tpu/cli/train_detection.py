@@ -169,23 +169,9 @@ def main(argv=None):
         return losses["loss"], losses
 
     if grad_dtype is not None:
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
+        from fastvim_tpu.train.trainer import make_compressed_grads_fn
 
-        @functools.partial(
-            shard_map, mesh=mesh,
-            in_specs=(P(), P("data"), P()), out_specs=(P(), P()),
-            check_vma=False)
-        def grads_fn(params, batch, rng):
-            (_, losses), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, batch, rng)
-            grads = jax.tree_util.tree_map(
-                lambda g: g.astype(grad_dtype), grads)
-            grads = jax.lax.pmean(grads, "data")
-            grads = jax.tree_util.tree_map(
-                lambda g, p: g.astype(p.dtype), grads, params)
-            return jax.tree_util.tree_map(
-                lambda v: jax.lax.pmean(v, "data"), losses), grads
+        grads_fn = make_compressed_grads_fn(loss_fn, mesh, grad_dtype)
     else:
         def grads_fn(params, batch, rng):
             (_, losses), grads = jax.value_and_grad(

@@ -228,9 +228,10 @@ def create_detection_loader(data_dir: Optional[str], split: str,
             ds = CocoDetectionDataset(img_dir, ann)
             return DetectionLoader(ds, batch_size, img_size, max_gt,
                                    training, shuffle=training,
-                                   num_workers=num_workers, seed=seed)
+                                   num_workers=num_workers, seed=seed,
+                                   drop_last=training)
     ds = SyntheticDetectionDataset(synthetic_samples, img_size,
                                    num_classes)
     return DetectionLoader(ds, batch_size, img_size, max_gt, training,
                            shuffle=training, num_workers=num_workers,
-                           seed=seed)
+                           seed=seed, drop_last=training)

@@ -154,17 +154,25 @@ class SegmentationLoader(DataLoader):
                 im, lb = seg_train_transform(img, lbl, rng, self.crop)
             else:
                 im, lb = seg_eval_transform(img, lbl, self.crop)
-                # pad eval images to a fixed canvas for static batching;
-                # slide inference crops within the valid region
-                S = max(self.crop, ((im.shape[0] + 31) // 32) * 32,
-                        ((im.shape[1] + 31) // 32) * 32)
+            imgs.append(im)
+            lbls.append(lb)
+        if not self.training:
+            # pad the whole batch to ONE canvas (the per-batch max,
+            # 32-aligned) so variable-aspect eval images stack; slide
+            # inference averages over the valid region, padded labels
+            # are IGNORE
+            S = max([self.crop]
+                    + [((im.shape[k] + 31) // 32) * 32
+                       for im in imgs for k in (0, 1)])
+            out_i, out_l = [], []
+            for im, lb in zip(imgs, lbls):
                 canvas = np.zeros((S, S, 3), np.float32)
                 lcanvas = np.full((S, S), IGNORE, np.int32)
                 canvas[:im.shape[0], :im.shape[1]] = im
                 lcanvas[:lb.shape[0], :lb.shape[1]] = lb
-                im, lb = canvas, lcanvas
-            imgs.append(im)
-            lbls.append(lb)
+                out_i.append(canvas)
+                out_l.append(lcanvas)
+            imgs, lbls = out_i, out_l
         return {"image": np.stack(imgs), "label": np.stack(lbls)}
 
 

@@ -19,11 +19,13 @@ import numpy as np
 Array = jax.Array
 
 
-def _pad_batch(seqs: Sequence[np.ndarray], pad_id: int = 0
-               ) -> Tuple[np.ndarray, np.ndarray]:
-    """Right-pad int sequences to a common length; returns (tokens,
-    lengths)."""
-    L = max(len(s) for s in seqs)
+def _pad_batch(seqs: Sequence[np.ndarray], pad_id: int = 0,
+               bucket: int = 64) -> Tuple[np.ndarray, np.ndarray]:
+    """Right-pad int sequences to a common bucketed length (multiples of
+    ``bucket`` — bounds the number of distinct jit shapes; first compiles
+    through the TPU relay cost minutes, CLAUDE.md)."""
+    L = max(max(len(s) for s in seqs), 2)
+    L = ((L + bucket - 1) // bucket) * bucket
     out = np.full((len(seqs), L), pad_id, np.int32)
     lens = np.zeros((len(seqs),), np.int32)
     for i, s in enumerate(seqs):
@@ -32,7 +34,16 @@ def _pad_batch(seqs: Sequence[np.ndarray], pad_id: int = 0
     return out, lens
 
 
+_SCORE_CACHE: dict = {}
+
+
 def _score_fn(model):
+    """Jitted scorer, cached per model object so repeated loglikelihood
+    calls reuse compiled executables."""
+    key = id(model)
+    if key in _SCORE_CACHE:
+        return _SCORE_CACHE[key]
+
     @jax.jit
     def score(params, tokens, ctx_lens, total_lens):
         """Per-row log-likelihood of tokens[ctx_len:total_len] given the
@@ -52,6 +63,7 @@ def _score_fn(model):
         is_greedy = jnp.all(jnp.where(mask, greedy, True), axis=1)
         return ll, is_greedy
 
+    _SCORE_CACHE[key] = score
     return score
 
 

@@ -183,30 +183,29 @@ def max_iou_assign(boxes: Array, gt_boxes: Array, gt_valid: Array,
 def random_sample(rng: Array, assigned: Array, num: int,
                   pos_fraction: float
                   ) -> Tuple[Array, Array, Array]:
-    """Sample ``num`` boxes: up to num*pos_fraction positives, rest
-    negatives (mmdet RandomSampler). Static shapes: returns
-    (indices (num,), is_pos (num,) bool, valid (num,) bool)."""
+    """Sample ``num`` boxes: up to num*pos_fraction positives, NEGATIVES
+    FILL THE REST — when positives are scarce the sample still has
+    ``num`` boxes, matching mmdet RandomSampler (neg_pos_ub=-1). Static
+    shapes: returns (indices (num,), is_pos (num,) bool, valid (num,)
+    bool); valid can fall short only when candidates themselves run out.
+    """
     n = assigned.shape[0]
     r_pos, r_neg = jax.random.split(rng)
     num_pos_max = int(num * pos_fraction)
     pos_mask = assigned >= 0
     neg_mask = assigned == -1
-    # randomized priority top-k within each class of candidates
-    pos_rank = jnp.where(pos_mask, jax.random.uniform(r_pos, (n,)), -1.0)
-    pos_idx = jnp.argsort(-pos_rank)[:num_pos_max]
-    pos_valid = pos_mask[pos_idx]
-    n_pos = pos_valid.sum()
-    neg_rank = jnp.where(neg_mask, jax.random.uniform(r_neg, (n,)), -1.0)
-    neg_idx = jnp.argsort(-neg_rank)[: num - num_pos_max]
-    neg_valid = neg_mask[neg_idx]
-    # keep only enough negatives to fill the quota
-    neg_quota = num - num_pos_max
-    neg_valid = neg_valid & (jnp.cumsum(neg_valid) <= neg_quota)
-    idx = jnp.concatenate([pos_idx, neg_idx])
-    is_pos = jnp.concatenate([pos_valid,
-                              jnp.zeros_like(neg_valid)])
-    valid = jnp.concatenate([pos_valid, neg_valid])
-    del n_pos
+    # positives beyond the quota are excluded: rank positives randomly
+    # and keep the first num_pos_max
+    pos_rand = jnp.where(pos_mask, jax.random.uniform(r_pos, (n,)), -1.0)
+    pos_rank = jnp.argsort(jnp.argsort(-pos_rand))  # rank of each elem
+    eligible_pos = pos_mask & (pos_rank < num_pos_max)
+    # priority: quota positives (2+u) > negatives (1+u) > excluded (-inf)
+    u = jax.random.uniform(r_neg, (n,))
+    priority = jnp.where(eligible_pos, 2.0 + u,
+                         jnp.where(neg_mask, 1.0 + u, -jnp.inf))
+    _, idx = jax.lax.top_k(priority, num)
+    valid = priority[idx] > 0.0
+    is_pos = pos_mask[idx] & valid
     return idx, is_pos, valid
 
 

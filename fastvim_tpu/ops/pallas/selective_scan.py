@@ -464,6 +464,10 @@ def _selective_scan_pallas(u, delta, A, B, C, D, delta_bias,
                            delta_softplus, block_l, block_d, interpret,
                            variant="sublane", reverse=False):
     if variant == "lanes":
+        if reverse:
+            raise NotImplementedError(
+                "variant='lanes' is forward-only (negative-result "
+                "coverage); use the default sublane variant for reverse")
         return _pallas_fwd_lanes(u, delta, A, B, C, D, delta_bias,
                                  delta_softplus, block_l, block_d,
                                  interpret)
@@ -474,6 +478,9 @@ def _selective_scan_pallas(u, delta, A, B, C, D, delta_bias,
 def _fwd(u, delta, A, B, C, D, delta_bias, delta_softplus, block_l, block_d,
          interpret, variant="sublane", reverse=False):
     if variant == "lanes":
+        if reverse:
+            raise NotImplementedError(
+                "variant='lanes' is forward-only; use the sublane variant")
         out = _pallas_fwd_lanes(u, delta, A, B, C, D, delta_bias,
                                 delta_softplus, block_l, block_d, interpret)
         return out, (u, delta, A, B, C, D, delta_bias, None)

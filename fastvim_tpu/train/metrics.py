@@ -78,8 +78,12 @@ def box_average_precision(predictions, ground_truths,
                 continue
             ious = np.asarray(box_iou(jnp.asarray(box[None]),
                                       jnp.asarray(g)))[0]
-            j = int(ious.argmax())
-            if ious[j] >= iou_thr and not matched[i][j]:
+            # best UNMATCHED gt above threshold (COCO matching: a
+            # prediction whose argmax gt is taken may still match
+            # another overlapping gt)
+            cand = np.where((ious >= iou_thr) & ~matched[i])[0]
+            if cand.size:
+                j = int(cand[np.argmax(ious[cand])])
                 tp[k] = 1
                 matched[i][j] = True
             else:
@@ -97,6 +101,17 @@ def box_average_precision(predictions, ground_truths,
         aps.append(float(np.sum((mrec[idx + 1] - mrec[idx])
                                 * mprec[idx + 1])))
     return float(np.mean(aps)) if aps else 0.0
+
+
+def coco_map(predictions, ground_truths, num_classes: int = 80) -> dict:
+    """COCO mAP@[.5:.95] plus AP50/AP75 (the mmdet CocoMetric bbox
+    headline numbers), built on box_average_precision."""
+    import numpy as np
+
+    thrs = np.arange(0.5, 1.0, 0.05)
+    aps = [box_average_precision(predictions, ground_truths, float(t),
+                                 num_classes) for t in thrs]
+    return {"mAP": float(np.mean(aps)), "AP50": aps[0], "AP75": aps[5]}
 
 
 def box_iou(a: Array, b: Array) -> Array:

@@ -28,6 +28,49 @@ from fastvim_tpu.train.state import TrainState
 Array = jax.Array
 
 
+def make_compressed_grads_fn(loss_fn: Callable, mesh,
+                             compress_dtype, batch_spec=None) -> Callable:
+    """Gradient all-reduce compression — the TPU-native equivalent of the
+    reference's fp16 DDP comm hook (detection/vitdet/
+    fp16_compression_hook.py:16-26).
+
+    ``loss_fn(params, batch, rng) -> (loss, aux)``. Returns
+    ``grads_fn(params, batch, rng) -> (aux_pmean, grads)``: per-shard
+    grads under shard_map (batch pytree sharded over "data" by default;
+    ``batch_spec`` overrides per-leaf, e.g. replicated channel-id
+    vectors), cast to ``compress_dtype``, pmean'd over ICI, cast back
+    for the fp32 update. DP-only — raises on meshes with a non-trivial
+    seq axis (the comm hook mirrors DDP, which has no sequence
+    parallelism).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if "seq" in mesh.shape and mesh.shape["seq"] > 1:
+        raise ValueError(
+            "compressed gradient all-reduce implements the DP-only comm "
+            "hook; use seq=1 (got seq=%d)" % mesh.shape["seq"])
+    if batch_spec is None:
+        batch_spec = P("data")
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(P(), batch_spec, P()),
+        out_specs=(P(), P()), check_vma=False)
+    def grads_fn(params, batch, rng):
+        (_, aux), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch, rng)
+        grads = jax.tree_util.tree_map(
+            lambda g: g.astype(compress_dtype), grads)
+        grads = jax.lax.pmean(grads, "data")
+        grads = jax.tree_util.tree_map(
+            lambda g, p: g.astype(p.dtype), grads, params)
+        aux = jax.tree_util.tree_map(
+            lambda v: jax.lax.pmean(v, "data"), aux)
+        return aux, grads
+
+    return grads_fn
+
+
 def make_supervised_train_step(
     model,
     num_classes: int,
@@ -65,33 +108,26 @@ def make_supervised_train_step(
 
     grads_sharded = None
     if grad_allreduce_dtype is not None:
-        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         from fastvim_tpu.parallel.mesh import get_mesh
 
         mesh_ = mesh if mesh is not None else get_mesh()
-        if "seq" in mesh_.shape and mesh_.shape["seq"] > 1:
-            raise ValueError(
-                "grad_allreduce_dtype implements the DP-only comm hook; "
-                "use seq=1 (got seq=%d)" % mesh_.shape["seq"])
-        if channel_model:
-            raise NotImplementedError(
-                "grad compression with channel models not wired")
 
-        @functools.partial(
-            shard_map, mesh=mesh_,
-            in_specs=(P(), P("data"), P("data"), P()),
-            out_specs=(P(), P()), check_vma=False)
-        def grads_sharded(params, images, soft, rng):
-            (loss, _), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, images, {"soft": soft}, rng)
-            grads = jax.tree_util.tree_map(
-                lambda g: g.astype(grad_allreduce_dtype), grads)
-            grads = jax.lax.pmean(grads, "data")
-            grads = jax.tree_util.tree_map(
-                lambda g, p: g.astype(p.dtype), grads, params)
-            return jax.lax.pmean(loss, "data"), grads
+        def _batched_loss(params, batch, rng):
+            targets = {"soft": batch["soft"]}
+            if "channel_ids" in batch:
+                targets["channel_ids"] = batch["channel_ids"]
+            loss, _ = loss_fn(params, batch["images"], targets, rng)
+            return loss, loss
+
+        grads_sharded = make_compressed_grads_fn(
+            _batched_loss, mesh_, grad_allreduce_dtype)
+        # channel-id vectors are per-batch metadata, replicated
+        grads_sharded_chan = make_compressed_grads_fn(
+            _batched_loss, mesh_, grad_allreduce_dtype,
+            batch_spec={"images": P("data"), "soft": P("data"),
+                        "channel_ids": P()}) if channel_model else None
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, rng):
@@ -107,8 +143,12 @@ def make_supervised_train_step(
 
             soft = one_hot_smooth(labels, num_classes, label_smoothing)
         if grads_sharded is not None:
-            loss, grads = grads_sharded(state.params, images, soft,
-                                        rng_drop)
+            b = {"images": images, "soft": soft}
+            fn = grads_sharded
+            if "channel_ids" in batch and grads_sharded_chan is not None:
+                b["channel_ids"] = batch["channel_ids"]
+                fn = grads_sharded_chan
+            loss, grads = fn(state.params, b, rng_drop)
         else:
             targets = {"soft": soft}
             if "channel_ids" in batch:

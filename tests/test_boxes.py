@@ -129,3 +129,16 @@ def test_multilevel_roi_align_routes_by_scale():
     out = np.asarray(multilevel_roi_align(feats, rois, 2, [4, 8, 16, 32]))
     assert np.allclose(out[0], 0.0)
     assert np.allclose(out[1], 3.0)
+
+
+def test_random_sample_tops_up_negatives_when_positives_scarce():
+    """mmdet RandomSampler semantics: scarce positives do NOT shrink the
+    sample — negatives fill to ``num`` (code-review r2 finding)."""
+    assigned = jnp.asarray([0] + [-1] * 999, jnp.int32)
+    idx, is_pos, valid = random_sample(jax.random.PRNGKey(1), assigned,
+                                       num=256, pos_fraction=0.5)
+    assert int(valid.sum()) == 256
+    assert int((is_pos & valid).sum()) == 1
+    a = np.asarray(assigned)[np.asarray(idx)]
+    assert all(a[i] == -1 for i in range(256)
+               if valid[i] and not is_pos[i])

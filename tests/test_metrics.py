@@ -32,3 +32,24 @@ def test_box_iou():
     iou = box_iou(a, b)
     np.testing.assert_allclose(np.asarray(iou[0]), [1 / 7, 1.0],
                                rtol=1e-5)
+
+
+def test_coco_map_perfect_predictions():
+    import numpy as np
+
+    from fastvim_tpu.train.metrics import box_average_precision, coco_map
+
+    gts = [{"boxes": np.array([[0, 0, 10, 10], [20, 20, 40, 40.]]),
+            "labels": np.array([0, 1])}]
+    preds = [{"boxes": gts[0]["boxes"], "scores": np.ones(2),
+              "labels": gts[0]["labels"]}]
+    m = coco_map(preds, gts, num_classes=2)
+    assert m["mAP"] == 1.0 and m["AP50"] == 1.0 and m["AP75"] == 1.0
+    # adjacent same-class objects: second pred matches the unmatched gt
+    gts2 = [{"boxes": np.array([[0, 0, 10, 10], [2, 0, 12, 10.]]),
+             "labels": np.array([0, 0])}]
+    preds2 = [{"boxes": np.array([[0, 0, 10, 10], [1, 0, 11, 10.]]),
+               "scores": np.array([0.9, 0.8]),
+               "labels": np.array([0, 0])}]
+    ap = box_average_precision(preds2, gts2, 0.5, 1)
+    assert ap == 1.0

@@ -102,3 +102,29 @@ def test_evaluate_miou_perfect_predictor():
 
     miou = evaluate_miou(FakeSeg(), None, LblLoader(), 4, crop=32)
     assert miou == pytest.approx(1.0)
+
+
+def test_eval_loader_batches_variable_aspect_images(tmp_path):
+    """eval_batch_size > 1 with variable-aspect images: the batch pads to
+    ONE common canvas (code-review r2 finding)."""
+    from PIL import Image
+
+    root = str(tmp_path)
+    for split in ("validation",):
+        os.makedirs(os.path.join(root, "images", split))
+        os.makedirs(os.path.join(root, "annotations", split))
+        for i, (h, w) in enumerate([(60, 80), (60, 60), (80, 50)]):
+            rng = np.random.default_rng(i)
+            Image.fromarray(rng.integers(0, 256, (h, w, 3), np.uint8)
+                            ).save(os.path.join(root, "images", split,
+                                                f"im_{i}.jpg"))
+            Image.fromarray(rng.integers(0, 5, (h, w)).astype(np.uint8)
+                            ).save(os.path.join(root, "annotations",
+                                                split, f"im_{i}.png"))
+    dl = SegmentationLoader(ADE20KDataset(root, "validation"),
+                            batch_size=3, crop=32, training=False,
+                            shuffle=False, drop_last=False)
+    b = next(iter(dl))
+    assert b["image"].shape[0] == 3
+    assert b["image"].shape[1] == b["image"].shape[2]
+    assert b["image"].shape[1] % 32 == 0

@@ -268,3 +268,37 @@ def test_linear_probe_bn_eval_batch_independent():
     # and running stats actually moved (train used batch stats + EMA)
     rm = variables["batch_stats"]["bn"]["mean"]
     assert float(jnp.abs(rm).max()) > 0.0
+
+
+def test_grad_compression_channel_model():
+    """Channel models shard images/targets over data but REPLICATE the
+    per-batch channel-id vector in the compressed all-reduce path."""
+    from fastvim_tpu.models.channel import ChannelVisionMamba
+
+    assert jax.device_count() >= 8
+    mesh = make_mesh(data=8, seq=1)
+    model = ChannelVisionMamba(img_size=16, patch_size=8, depth=2,
+                               embed_dim=32, channels=4, num_classes=5,
+                               ssm_cfg={"d_state": 4})
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 16, 16, 4))
+    y = jnp.arange(16) % 5
+    cids = jnp.arange(4)
+    params = model.init(jax.random.PRNGKey(2), x, channel_ids=cids)
+    tx = make_optimizer(cosine_with_warmup(1e-3, 1e-5, 10, 0),
+                        weight_decay=0.0, params=params)
+
+    def fresh():
+        return TrainState.create(
+            jax.tree_util.tree_map(jnp.copy, params), tx, ema=False)
+
+    batch = shard_batch({"image": x, "label": y, "channel_ids": cids},
+                        mesh)
+    step16 = make_supervised_train_step(
+        model, 5, mixup_config=None, ema_decay=None, channel_model=True,
+        grad_allreduce_dtype=jnp.bfloat16, mesh=mesh)
+    step32 = make_supervised_train_step(
+        model, 5, mixup_config=None, ema_decay=None, channel_model=True)
+    s16, m16 = step16(fresh(), batch, jax.random.PRNGKey(0))
+    s32, m32 = step32(fresh(), batch, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(m16["train_loss"]),
+                               float(m32["train_loss"]), rtol=1e-2)
