@@ -54,13 +54,16 @@ def build_model(cfg):
 
 
 def evaluate_box_ap(model, params, val_loader, num_classes: int,
-                    iou_thr: float = 0.5) -> float:
-    """Box mAP@iou_thr over a loader (mmdet CocoMetric bbox counterpart,
-    single-threshold)."""
+                    iou_thr: float = 0.5) -> dict:
+    """bbox + segm AP@iou_thr over a loader (mmdet CocoMetric
+    counterpart, single-threshold)."""
     import jax as _jax
     import numpy as np
 
-    from fastvim_tpu.train.metrics import box_average_precision
+    from fastvim_tpu.train.metrics import (
+        box_average_precision,
+        mask_average_precision,
+    )
 
     predict = _jax.jit(lambda p, x: model.apply(p, x))
     preds, gts = [], []
@@ -69,11 +72,18 @@ def evaluate_box_ap(model, params, val_loader, num_classes: int,
         B = batch["image"].shape[0]
         for i in range(B):
             preds.append({k: np.asarray(out[k][i])
-                          for k in ("boxes", "scores", "labels", "valid")})
+                          for k in ("boxes", "scores", "labels", "valid",
+                                    "masks")})
             gts.append({"boxes": np.asarray(batch["boxes"][i]),
                         "labels": np.asarray(batch["labels"][i]),
+                        "masks": np.asarray(batch["masks"][i]),
                         "valid": np.asarray(batch["gt_valid"][i])})
-    return box_average_precision(preds, gts, iou_thr, num_classes)
+    return {
+        "box_ap50": box_average_precision(preds, gts, iou_thr,
+                                          num_classes),
+        "mask_ap50": mask_average_precision(preds, gts, iou_thr,
+                                            num_classes),
+    }
 
 
 def main(argv=None):
@@ -135,10 +145,10 @@ def main(argv=None):
             num_workers=cfg.get("num_workers", 4),
             synthetic_samples=min(args.synthetic_samples, 8),
             num_classes=cfg.get("num_classes", 80))
-        ap = evaluate_box_ap(model, params, val_loader,
-                             cfg.get("num_classes", 80))
-        print({"box_ap50": ap})
-        return ap
+        metrics = evaluate_box_ap(model, params, val_loader,
+                                  cfg.get("num_classes", 80))
+        print(metrics)
+        return metrics
 
     steps_per_epoch = max(len(train_loader), 1)
     total_iters = cfg.get("total_iters", 184375)

@@ -208,7 +208,7 @@ def test_cli_detection_eval_only(tmp_path, tiny_model_patch):
     """Checkpoint-in → box-AP-out path (mmdet test.py counterpart)."""
     from fastvim_tpu.cli.train_detection import main
 
-    ap = main([
+    m = main([
         "--config_name", "vitdet_FastVimT_coco",
         "--synthetic_samples", "2", "--eval_only",
         "img_size=64", "batch_size=1", "num_classes=3", "max_gt=4",
@@ -216,4 +216,5 @@ def test_cli_detection_eval_only(tmp_path, tiny_model_patch):
         "det.rpn_sample=16", "det.nms_pre=32", "det.num_proposals=16",
         "det.rcnn_sample=8",
     ])
-    assert 0.0 <= ap <= 1.0
+    assert 0.0 <= m["box_ap50"] <= 1.0
+    assert 0.0 <= m["mask_ap50"] <= 1.0

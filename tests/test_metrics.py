@@ -53,3 +53,35 @@ def test_coco_map_perfect_predictions():
                "labels": np.array([0, 0])}]
     ap = box_average_precision(preds2, gts2, 0.5, 1)
     assert ap == 1.0
+
+
+def test_mask_average_precision_perfect_and_paste():
+    import numpy as np
+
+    from fastvim_tpu.train.metrics import (
+        mask_average_precision,
+        paste_mask,
+    )
+
+    # paste: a full-ones 4x4 mask into box [2,3,8,9] of a 12x12 canvas
+    canvas = paste_mask(np.ones((4, 4)), [2, 3, 8, 9], 12, 12)
+    assert canvas[3:9, 2:8].all()
+    assert canvas.sum() == 36
+
+    # perfect instance predictions → AP 1
+    H = W = 16
+    gm = np.zeros((2, H, W), np.uint8)
+    gm[0, 2:8, 2:8] = 1
+    gm[1, 10:14, 10:14] = 1
+    gts = [{"boxes": np.array([[2, 2, 8, 8], [10, 10, 14, 14.]]),
+            "labels": np.array([0, 0]), "masks": gm}]
+    preds = [{"boxes": gts[0]["boxes"], "scores": np.ones(2),
+              "labels": gts[0]["labels"],
+              "masks": np.ones((2, 28, 28))}]
+    ap = mask_average_precision(preds, gts, 0.5, 1)
+    assert ap == 1.0
+    # shifted masks that miss the IoU threshold → AP 0
+    bad = [{"boxes": np.array([[9, 9, 15, 15], [0, 0, 4, 4.]]),
+            "scores": np.ones(2), "labels": np.array([0, 0]),
+            "masks": np.ones((2, 28, 28))}]
+    assert mask_average_precision(bad, gts, 0.9, 1) == 0.0
