@@ -1,4 +1,9 @@
-"""VERDICT r1 #6: attack the 2048px forward bottleneck (sublane-shift
+"""HISTORICAL round-2 experiment record (results in CLAUDE.md): the
+production mixer now uses ops/conv.dual_conv1d + grid_dual_conv1d, so
+the monkeypatches below no longer affect the default path — re-point
+them at dual_conv1d before re-running variants.
+
+VERDICT r1 #6: attack the 2048px forward bottleneck (sublane-shift
 relayouts in the depthwise causal conv) with alternative formulations,
 measured END-TO-END on the real chip (device-looped, differenced).
 

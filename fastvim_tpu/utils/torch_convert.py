@@ -160,6 +160,63 @@ def convert_channel_vim(sd: Mapping[str, Any],
     return {"params": params}
 
 
+def export_vision_mamba(params: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """flax VisionMamba params → reference torch state_dict arrays (the
+    inverse of convert_vision_mamba) — lets models trained here be loaded
+    by the PyTorch reference (models/fastvim.py / vim.py). Returns numpy
+    arrays; wrap with torch.from_numpy to build a state_dict."""
+    p = params.get("params", params)
+    sd: Dict[str, np.ndarray] = {}
+    sd["patch_embed.proj.weight"] = _np(
+        p["patch_embed"]["proj"]["kernel"]).transpose(3, 2, 0, 1)
+    sd["patch_embed.proj.bias"] = _np(p["patch_embed"]["proj"]["bias"])
+    if "pos_embed" in p:
+        sd["pos_embed"] = _np(p["pos_embed"])
+    if "cls_token" in p:
+        sd["cls_token"] = _np(p["cls_token"])
+    i = 0
+    while f"layers_{i}" in p:
+        lp = p[f"layers_{i}"]
+        pre = f"layers.{i}"
+        sd[f"{pre}.norm.weight"] = _np(lp["norm_weight"])
+        if "norm_bias" in lp:
+            sd[f"{pre}.norm.bias"] = _np(lp["norm_bias"])
+        m = lp["mixer"]
+        sd[f"{pre}.mixer.in_proj.weight"] = _np(m["in_proj"]["kernel"]).T
+        if "bias" in m["in_proj"]:
+            sd[f"{pre}.mixer.in_proj.bias"] = _np(m["in_proj"]["bias"])
+        sd[f"{pre}.mixer.out_proj.weight"] = _np(m["out_proj"]["kernel"]).T
+        if "bias" in m["out_proj"]:
+            sd[f"{pre}.mixer.out_proj.bias"] = _np(m["out_proj"]["bias"])
+        for sfx in ("", "_b"):
+            sd[f"{pre}.mixer.conv1d{sfx}.weight"] = _np(
+                m[f"conv1d{sfx}_weight"]).T[:, None, :]
+            if f"conv1d{sfx}_bias" in m:
+                sd[f"{pre}.mixer.conv1d{sfx}.bias"] = _np(
+                    m[f"conv1d{sfx}_bias"])
+            sd[f"{pre}.mixer.x_proj{sfx}.weight"] = _np(
+                m[f"x_proj{sfx}_weight"]).T
+            sd[f"{pre}.mixer.dt_proj{sfx}.weight"] = _np(
+                m[f"dt_proj{sfx}_weight"]).T
+            sd[f"{pre}.mixer.dt_proj{sfx}.bias"] = _np(
+                m[f"dt_proj{sfx}_bias"])
+            sd[f"{pre}.mixer.A{sfx}_log"] = _np(m[f"A{sfx}_log"])
+            sd[f"{pre}.mixer.D{sfx}"] = _np(m[f"D{sfx}"])
+        if "layernorm_weight" in m:
+            sd[f"{pre}.mixer.layernorm.weight"] = _np(m["layernorm_weight"])
+            sd[f"{pre}.mixer.layernorm.bias"] = _np(m["layernorm_bias"])
+        if "gamma" in m:
+            sd[f"{pre}.mixer.gamma"] = _np(m["gamma"])
+        i += 1
+    sd["norm_f.weight"] = _np(p["norm_f_weight"])
+    if "norm_f_bias" in p:
+        sd["norm_f.bias"] = _np(p["norm_f_bias"])
+    if "head" in p:
+        sd["head.weight"] = _np(p["head"]["kernel"]).T
+        sd["head.bias"] = _np(p["head"]["bias"])
+    return sd
+
+
 def convert_mae(sd: Mapping[str, Any],
                 strip_prefix: str = "") -> Dict[str, Any]:
     """torch MaskedAutoencoderViM state_dict → flax params.
