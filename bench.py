@@ -64,10 +64,13 @@ def throughput(model_name, img_size, batch, n1=4, n2=12,
 
 def main():
     results = {}
-    # batch 3 @2048: swept {2,3,4,5,6,8,12,16} → {69.6, 86.8, 79.9,
-    # 64.5, 63.1, 71.7, 47.0, 42.7} img/s on v5e (non-monotonic XLA
-    # schedule cliffs; round-2 sweep, CLAUDE.md)
-    b224, b2048 = 64, 3
+    # Batch choices from round-2 sweeps on v5e (non-monotonic XLA
+    # schedule cliffs; CLAUDE.md):
+    #   @2048 {2,3,4,5,6,8,12,16} → {69.6, 86.8, 79.9, 64.5, 63.1,
+    #     71.7, 47.0, 42.7} img/s — best b3
+    #   @224 {32,40,48,56,64,96,128} → {7040, 7378, 6808, 6289, 5652,
+    #     5122, 2591} img/s — best b40
+    b224, b2048 = 40, 3
     results["fastvim_t_224_img_s"] = throughput("fastvim_tiny", 224, b224)
     results["fastvim_t_2048_img_s"] = throughput("fastvim_tiny", 2048, b2048)
     try:
