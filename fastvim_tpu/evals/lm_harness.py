@@ -38,9 +38,11 @@ _SCORE_CACHE: dict = {}
 
 
 def _score_fn(model):
-    """Jitted scorer, cached per model object so repeated loglikelihood
-    calls reuse compiled executables."""
-    key = id(model)
+    """Jitted scorer, cached per model CONFIG (flax modules are frozen
+    hashable dataclasses) so repeated calls — even with freshly
+    constructed but identical models — reuse compiled executables, and
+    the cache stays bounded by the number of distinct configs."""
+    key = model
     if key in _SCORE_CACHE:
         return _SCORE_CACHE[key]
 

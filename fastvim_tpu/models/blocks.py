@@ -83,12 +83,17 @@ class Block(nn.Module):
         # raster in-place (ops/conv.transposed_dual_conv1d) and pools the
         # other grid axis. Two full-HBM relayouts per odd block gone
         # (measured ~13% of the 2048px forward).
+        mixer_fields = MambaMixer.__dataclass_fields__
         transposed = (
             rotated and len(grid) == 2
             and self.transpose_axes == (0, 1)
             and self.pool_axes is None
-            and kwargs.get("collapse_method", "mean") in ("mean", "max")
-            and kwargs.get("fused_kernels", "never") == "never")
+            and kwargs.get(
+                "collapse_method",
+                mixer_fields["collapse_method"].default) in ("mean", "max")
+            and kwargs.get(
+                "fused_kernels",
+                mixer_fields["fused_kernels"].default) == "never")
         mixer = MambaMixer(
             d_model=self.dim, dtype=self.dtype, name="mixer", **kwargs)
         if transposed:

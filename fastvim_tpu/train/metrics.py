@@ -30,82 +30,161 @@ def miou_from_confusion(cm: Array) -> Array:
     return jnp.sum(iou * present) / jnp.maximum(jnp.sum(present), 1)
 
 
+
+# ---------------------------------------------------------------------
+# COCO-style AP (the mmdet CocoMetric bbox/segm counterparts). One
+# shared matching/AP core; bbox and segm differ only in how per-class
+# candidate rows and their IoU vectors are built.
+# ---------------------------------------------------------------------
+
+def _ap_from_rows(rows, gt_counts, iou_thr: float) -> float:
+    """All-point-interpolated AP for one class.
+
+    rows: score-DESC-sorted list of (img_idx, ious ndarray over that
+    image's class gts). gt_counts: {img_idx: n_gt}. Matching: greedy
+    best UNMATCHED gt with IoU >= thr (COCO semantics)."""
+    import numpy as np
+
+    matched = {i: np.zeros(n, bool) for i, n in gt_counts.items()}
+    n_gt = sum(gt_counts.values())
+    tp = np.zeros(len(rows))
+    fp = np.zeros(len(rows))
+    for k, (i, ious) in enumerate(rows):
+        m = matched.get(i)
+        cand = (np.where((ious >= iou_thr) & ~m)[0]
+                if m is not None and ious.size else np.empty(0, int))
+        if cand.size:
+            j = int(cand[np.argmax(ious[cand])])
+            tp[k] = 1
+            matched[i][j] = True
+        else:
+            fp[k] = 1
+    ctp, cfp = np.cumsum(tp), np.cumsum(fp)
+    recall = ctp / n_gt
+    precision = ctp / np.maximum(ctp + cfp, 1e-9)
+    mprec = np.concatenate([[0.0], precision, [0.0]])
+    mrec = np.concatenate([[0.0], recall, [1.0]])
+    for k in range(len(mprec) - 2, -1, -1):
+        mprec[k] = max(mprec[k], mprec[k + 1])
+    idx = np.where(mrec[1:] != mrec[:-1])[0]
+    return float(np.sum((mrec[idx + 1] - mrec[idx]) * mprec[idx + 1]))
+
+
+def _np(x):
+    import numpy as np
+
+    return np.asarray(x)
+
+
+def _valid_mask(d, key="boxes"):
+    import numpy as np
+
+    return _np(d.get("valid", np.ones(len(_np(d[key])), bool)))
+
+
+def _box_class_rows(predictions, ground_truths, c):
+    """(rows, gt_counts) for class c with box IoU, or None if no gt.
+    IoU vectors are computed ONCE per prediction (reused across
+    thresholds by coco_map)."""
+    import numpy as np
+
+    gt_boxes, gt_counts = [], {}
+    for i, g in enumerate(ground_truths):
+        m = (_np(g["labels"]) == c) & _valid_mask(g)
+        gt_boxes.append(_np(g["boxes"])[m])
+        if m.sum():
+            gt_counts[i] = int(m.sum())
+    if not gt_counts:
+        return None
+    rows = []
+    for i, p in enumerate(predictions):
+        m = (_np(p["labels"]) == c) & _valid_mask(p)
+        boxes, scores = _np(p["boxes"])[m], _np(p["scores"])[m]
+        g = gt_boxes[i]
+        ious_all = (np.asarray(box_iou(jnp.asarray(boxes),
+                                       jnp.asarray(g)))
+                    if len(boxes) and len(g)
+                    else np.zeros((len(boxes), len(g))))
+        for k, s in enumerate(scores):
+            rows.append((float(s), i, ious_all[k]))
+    rows.sort(key=lambda r: -r[0])
+    return [(i, iou) for _, i, iou in rows], gt_counts
+
+
+def _mask_class_rows(predictions, ground_truths, c):
+    """As _box_class_rows but with pasted-mask IoU vectors."""
+    import numpy as np
+
+    gt_masks, gt_counts = [], {}
+    for i, g in enumerate(ground_truths):
+        m = (_np(g["labels"]) == c) & _valid_mask(g)
+        gt_masks.append(_np(g["masks"])[m].astype(bool))
+        if m.sum():
+            gt_counts[i] = int(m.sum())
+    if not gt_counts:
+        return None
+
+    def mask_iou(a, b):
+        union = np.logical_or(a, b).sum()
+        return np.logical_and(a, b).sum() / max(union, 1)
+
+    rows = []
+    for i, p in enumerate(predictions):
+        m = (_np(p["labels"]) == c) & _valid_mask(p)
+        H, W = _np(ground_truths[i]["masks"]).shape[-2:]
+        for b, s, pm in zip(_np(p["boxes"])[m], _np(p["scores"])[m],
+                            _np(p["masks"])[m]):
+            pmask = paste_mask(pm, b, H, W)
+            ious = np.array([mask_iou(pmask, gm) for gm in gt_masks[i]])
+            rows.append((float(s), i, ious))
+    rows.sort(key=lambda r: -r[0])
+    return [(i, iou) for _, i, iou in rows], gt_counts
+
+
 def box_average_precision(predictions, ground_truths,
                           iou_thr: float = 0.5,
                           num_classes: int = 80) -> float:
-    """COCO-style (single-IoU) mean AP over classes, host-side numpy.
+    """COCO-style (single-IoU) mean box AP over classes, host-side numpy.
 
     predictions: list per image of dicts with "boxes" (N,4), "scores"
     (N,), "labels" (N,), optional "valid" (N,) — the padded output of
     CascadeMaskRCNN's predict path. ground_truths: list per image of
-    dicts with "boxes" (G,4), "labels" (G,), optional "valid".
-    All-point-interpolated AP per class, averaged over classes that have
-    ground truth (the mmdet CocoMetric bbox mAP at one threshold)."""
-    import numpy as np
-
-    def _np(x):
-        return np.asarray(x)
-
+    dicts with "boxes" (G,4), "labels" (G,), optional "valid"."""
     aps = []
     for c in range(num_classes):
-        # gather per-image gt of class c
-        gts = []
-        n_gt = 0
-        for g in ground_truths:
-            valid = _np(g.get("valid", np.ones(len(_np(g["boxes"])),
-                                               bool)))
-            m = (_np(g["labels"]) == c) & valid
-            gts.append(_np(g["boxes"])[m])
-            n_gt += int(m.sum())
-        if n_gt == 0:
-            continue
-        # gather predictions of class c across images
-        rows = []  # (score, img_idx, box)
-        for i, p in enumerate(predictions):
-            valid = _np(p.get("valid", np.ones(len(_np(p["boxes"])),
-                                               bool)))
-            m = (_np(p["labels"]) == c) & valid
-            for b, s in zip(_np(p["boxes"])[m], _np(p["scores"])[m]):
-                rows.append((float(s), i, b))
-        rows.sort(key=lambda r: -r[0])
-        matched = [np.zeros(len(g), bool) for g in gts]
-        tp = np.zeros(len(rows))
-        fp = np.zeros(len(rows))
-        for k, (_, i, box) in enumerate(rows):
-            g = gts[i]
-            if len(g) == 0:
-                fp[k] = 1
-                continue
-            ious = np.asarray(box_iou(jnp.asarray(box[None]),
-                                      jnp.asarray(g)))[0]
-            # best UNMATCHED gt above threshold (COCO matching: a
-            # prediction whose argmax gt is taken may still match
-            # another overlapping gt)
-            cand = np.where((ious >= iou_thr) & ~matched[i])[0]
-            if cand.size:
-                j = int(cand[np.argmax(ious[cand])])
-                tp[k] = 1
-                matched[i][j] = True
-            else:
-                fp[k] = 1
-        ctp = np.cumsum(tp)
-        cfp = np.cumsum(fp)
-        recall = ctp / n_gt
-        precision = ctp / np.maximum(ctp + cfp, 1e-9)
-        # all-point interpolation
-        mprec = np.concatenate([[0.0], precision, [0.0]])
-        mrec = np.concatenate([[0.0], recall, [1.0]])
-        for k in range(len(mprec) - 2, -1, -1):
-            mprec[k] = max(mprec[k], mprec[k + 1])
-        idx = np.where(mrec[1:] != mrec[:-1])[0]
-        aps.append(float(np.sum((mrec[idx + 1] - mrec[idx])
-                                * mprec[idx + 1])))
+        rg = _box_class_rows(predictions, ground_truths, c)
+        if rg is not None:
+            aps.append(_ap_from_rows(*rg, iou_thr))
+    import numpy as np
+
+    return float(np.mean(aps)) if aps else 0.0
+
+
+def mask_average_precision(predictions, ground_truths,
+                           iou_thr: float = 0.5,
+                           num_classes: int = 80) -> float:
+    """Instance-segmentation AP (mmdet CocoMetric segm counterpart,
+    single IoU threshold): predicted (m, m) RoI masks are pasted into
+    full canvases at their boxes and matched to GT masks by mask IoU.
+
+    predictions per image: {"boxes", "scores", "labels", "masks"
+    (N, m, m probabilities), optional "valid"}; ground_truths:
+    {"boxes", "labels", "masks" (G, H, W) {0,1}, optional "valid"}."""
+    aps = []
+    for c in range(num_classes):
+        rg = _mask_class_rows(predictions, ground_truths, c)
+        if rg is not None:
+            aps.append(_ap_from_rows(*rg, iou_thr))
+    import numpy as np
+
     return float(np.mean(aps)) if aps else 0.0
 
 
 def paste_mask(mask28, box, H: int, W: int, thr: float = 0.5):
     """Paste a (m, m) RoI mask probability map into a full (H, W) binary
-    canvas at ``box`` (mmdet FCNMaskHead paste semantics, bilinear)."""
+    canvas at ``box`` (mmdet FCNMaskHead paste semantics, bilinear).
+    Boxes fully (or partly) outside the canvas are clipped; fully
+    off-canvas boxes yield an empty mask."""
     import numpy as np
 
     x1, y1, x2, y2 = [float(v) for v in box]
@@ -126,93 +205,32 @@ def paste_mask(mask28, box, H: int, W: int, thr: float = 0.5):
              + m[np.ix_(y1i, x1i)] * wy[:, None] * wx[None])
     canvas = np.zeros((H, W), bool)
     ox, oy = int(round(x1)), int(round(y1))
-    ph = min(h, H - oy)
-    pw = min(w, W - ox)
-    if ph > 0 and pw > 0 and oy < H and ox < W:
-        oy2, ox2 = max(oy, 0), max(ox, 0)
-        canvas[oy2:oy + ph, ox2:ox + pw] = \
-            patch[oy2 - oy:ph, ox2 - ox:pw] >= thr
+    oy2, ox2 = max(oy, 0), max(ox, 0)
+    ey, ex = min(oy + h, H), min(ox + w, W)
+    if ey > oy2 and ex > ox2:
+        canvas[oy2:ey, ox2:ex] = \
+            patch[oy2 - oy:ey - oy, ox2 - ox:ex - ox] >= thr
     return canvas
-
-
-def mask_average_precision(predictions, ground_truths,
-                           iou_thr: float = 0.5,
-                           num_classes: int = 80) -> float:
-    """Instance-segmentation AP (mmdet CocoMetric segm counterpart,
-    single IoU threshold): predicted (m, m) RoI masks are pasted into
-    full canvases at their boxes and matched to GT masks by mask IoU
-    with the same best-unmatched-gt rule as box AP.
-
-    predictions per image: {"boxes", "scores", "labels", "masks"
-    (N, m, m probabilities), optional "valid"}; ground_truths:
-    {"boxes", "labels", "masks" (G, H, W) {0,1}, optional "valid"}.
-    """
-    import numpy as np
-
-    def _np(x):
-        return np.asarray(x)
-
-    def mask_iou(a, b):
-        inter = np.logical_and(a, b).sum()
-        union = np.logical_or(a, b).sum()
-        return inter / max(union, 1)
-
-    aps = []
-    for c in range(num_classes):
-        gts, n_gt = [], 0
-        for g in ground_truths:
-            valid = _np(g.get("valid", np.ones(len(_np(g["boxes"])),
-                                               bool)))
-            m = (_np(g["labels"]) == c) & valid
-            gts.append(_np(g["masks"])[m].astype(bool))
-            n_gt += int(m.sum())
-        if n_gt == 0:
-            continue
-        rows = []
-        for i, p in enumerate(predictions):
-            valid = _np(p.get("valid", np.ones(len(_np(p["boxes"])),
-                                               bool)))
-            m = (_np(p["labels"]) == c) & valid
-            H, W = _np(ground_truths[i]["masks"]).shape[-2:]
-            for b, s, pm in zip(_np(p["boxes"])[m], _np(p["scores"])[m],
-                                _np(p["masks"])[m]):
-                rows.append((float(s), i, paste_mask(pm, b, H, W)))
-        rows.sort(key=lambda r: -r[0])
-        matched = [np.zeros(len(g), bool) for g in gts]
-        tp = np.zeros(len(rows))
-        fp = np.zeros(len(rows))
-        for k, (_, i, pmask) in enumerate(rows):
-            g = gts[i]
-            ious = np.array([mask_iou(pmask, gm) for gm in g]) \
-                if len(g) else np.zeros(0)
-            cand = np.where((ious >= iou_thr) & ~matched[i])[0]
-            if cand.size:
-                j = int(cand[np.argmax(ious[cand])])
-                tp[k] = 1
-                matched[i][j] = True
-            else:
-                fp[k] = 1
-        ctp, cfp = np.cumsum(tp), np.cumsum(fp)
-        recall = ctp / n_gt
-        precision = ctp / np.maximum(ctp + cfp, 1e-9)
-        mprec = np.concatenate([[0.0], precision, [0.0]])
-        mrec = np.concatenate([[0.0], recall, [1.0]])
-        for k in range(len(mprec) - 2, -1, -1):
-            mprec[k] = max(mprec[k], mprec[k + 1])
-        idx = np.where(mrec[1:] != mrec[:-1])[0]
-        aps.append(float(np.sum((mrec[idx + 1] - mrec[idx])
-                                * mprec[idx + 1])))
-    return float(np.mean(aps)) if aps else 0.0
 
 
 def coco_map(predictions, ground_truths, num_classes: int = 80) -> dict:
     """COCO mAP@[.5:.95] plus AP50/AP75 (the mmdet CocoMetric bbox
-    headline numbers), built on box_average_precision."""
+    headline numbers). Per-class IoU vectors are computed ONCE and
+    re-matched per threshold."""
     import numpy as np
 
     thrs = np.arange(0.5, 1.0, 0.05)
-    aps = [box_average_precision(predictions, ground_truths, float(t),
-                                 num_classes) for t in thrs]
+    per_thr = [[] for _ in thrs]
+    for c in range(num_classes):
+        rg = _box_class_rows(predictions, ground_truths, c)
+        if rg is None:
+            continue
+        rows, gt_counts = rg
+        for t, thr in enumerate(thrs):
+            per_thr[t].append(_ap_from_rows(rows, gt_counts, float(thr)))
+    if not per_thr[0]:
+        return {"mAP": 0.0, "AP50": 0.0, "AP75": 0.0}
+    aps = [float(np.mean(a)) for a in per_thr]
     return {"mAP": float(np.mean(aps)), "AP50": aps[0], "AP75": aps[5]}
 
 

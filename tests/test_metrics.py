@@ -85,3 +85,19 @@ def test_mask_average_precision_perfect_and_paste():
             "scores": np.ones(2), "labels": np.array([0, 0]),
             "masks": np.ones((2, 28, 28))}]
     assert mask_average_precision(bad, gts, 0.9, 1) == 0.0
+
+
+def test_paste_mask_off_canvas_boxes():
+    """Boxes partly or fully outside the canvas clip instead of crashing
+    (code-review r2 pass-2 finding)."""
+    import numpy as np
+
+    from fastvim_tpu.train.metrics import paste_mask
+
+    # fully above the canvas
+    assert paste_mask(np.ones((4, 4)), [5, -20, 11, -10], 12, 12).sum() == 0
+    # fully left
+    assert paste_mask(np.ones((4, 4)), [-9, 2, -3, 8], 12, 12).sum() == 0
+    # partly off the top-left: clipped region only
+    c = paste_mask(np.ones((4, 4)), [-2, -2, 4, 4], 12, 12)
+    assert c[:4, :4].sum() == c.sum() > 0
