@@ -27,7 +27,12 @@ _installed = False
 
 
 def _make_module(name: str) -> types.ModuleType:
+    import importlib.machinery
+
     mod = types.ModuleType(name)
+    # a real ModuleSpec so importlib.util.find_spec probes (e.g.
+    # transformers' _is_package_available("timm")) don't choke on the stub
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
     sys.modules[name] = mod
     return mod
 
@@ -212,6 +217,14 @@ def install_stubs() -> None:
     import mamba_ssm.modules.mamba_simple as ms
 
     ms.selective_scan_fn = ssi.selective_scan_ref
+    # The vision fork dropped the stock ``Block`` from mamba_simple.py
+    # (mixer_seq_simple.py:12 still imports it); the identical class
+    # survives in mamba_simple_channel_faster.py:411 — reattach it so the
+    # LM stack (MambaLMHeadModel) is importable for parity tests.
+    if not hasattr(ms, "Block"):
+        import mamba_ssm.modules.mamba_simple_channel_faster as mscf
+
+        ms.Block = mscf.Block
     _installed = True
 
 
