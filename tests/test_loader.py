@@ -109,3 +109,43 @@ def test_create_loader_uses_native_for_mae_when_available():
         # route check: the configured transform is the native wrapper
         assert loader.transform.__qualname__.startswith(
             "make_native_rgb_transform")
+
+
+def test_native_jpeg_loader_end_to_end(tmp_path):
+    from PIL import Image
+
+    from fastvim_tpu import native
+    from fastvim_tpu.data.loader import (
+        ImageFolderDataset,
+        NativeJpegDataLoader,
+    )
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(5)
+    for cls in ("a", "b"):
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(4):
+            arr = rng.integers(0, 256, (64, 80, 3), np.uint8)
+            Image.fromarray(arr).save(d / f"{i}.jpg", quality=92)
+    # one corrupt file exercises the per-image PIL fallback... make it a
+    # real-but-odd file the PIL fallback can still open (PNG with .jpg ext)
+    arr = rng.integers(0, 256, (64, 80, 3), np.uint8)
+    Image.fromarray(arr).save(tmp_path / "a" / "weird.png")
+
+    ds = ImageFolderDataset(str(tmp_path))
+    loader = NativeJpegDataLoader(ds, batch_size=3, img_size=32,
+                                  training=True, num_workers=2, seed=1)
+    batches = list(loader)
+    assert len(batches) == 3
+    for b in batches:
+        assert b["image"].shape == (3, 32, 32, 3)
+        assert b["image"].dtype == np.float32
+        assert np.isfinite(b["image"]).all()
+        assert b["label"].shape == (3,)
+    # deterministic across loaders with the same seed/epoch
+    loader2 = NativeJpegDataLoader(ds, batch_size=3, img_size=32,
+                                   training=True, num_workers=1, seed=1)
+    b2 = next(iter(loader2))
+    np.testing.assert_array_equal(batches[0]["image"], b2["image"])
