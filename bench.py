@@ -16,7 +16,9 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 """
 
+import argparse
 import json
+import sys
 import time
 
 import jax
@@ -62,6 +64,37 @@ def throughput(model_name, img_size, batch, n1=4, n2=12,
     return batch / dt
 
 
+def sweep(tol: float = 0.05):
+    """Batch-size sweep guard (VERDICT r2 weak #5): the pinned batches
+    ride non-monotonic XLA schedule cliffs; a compiler update can strand
+    >30%. Re-measures the neighbourhood of each pinned batch and reports
+    whether the pin is still within ``tol`` of the sweep max.
+
+    Prints one JSON line per resolution plus a final ok/regressed line;
+    exits nonzero if a pin has fallen more than ``tol`` behind.
+    """
+    pins = {224: (40, [32, 40, 48, 64]), 2048: (3, [2, 3, 4, 8])}
+    ok = True
+    for img, (pin, batches) in pins.items():
+        rates = {}
+        for b in batches:
+            try:
+                rates[b] = round(throughput("fastvim_tiny", img, b), 2)
+            except Exception as e:
+                rates[b] = None
+                print(json.dumps({"img": img, "batch": b,
+                                  "error": str(e)[:120]}))
+        valid = {b: r for b, r in rates.items() if r}
+        best_b = max(valid, key=valid.get)
+        pin_ok = valid.get(pin, 0.0) >= (1 - tol) * valid[best_b]
+        ok &= pin_ok
+        print(json.dumps({"img": img, "pinned_batch": pin,
+                          "sweep": rates, "best_batch": best_b,
+                          "pin_within_tol": pin_ok}))
+    print(json.dumps({"sweep_ok": ok}))
+    return 0 if ok else 1
+
+
 def main():
     results = {}
     # Batch choices from round-2 sweeps on v5e (non-monotonic XLA
@@ -98,4 +131,11 @@ def main():
 
 
 if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sweep", action="store_true",
+                    help="re-validate the pinned batch sizes against a "
+                         "fresh sweep instead of running the bench")
+    args = ap.parse_args()
+    if args.sweep:
+        sys.exit(sweep())
     main()

@@ -44,6 +44,37 @@ from fastvim_tpu.ops.scan import _prod, broadcast_grid, pool_grid
 Array = jax.Array
 
 
+class SplitDense(nn.Module):
+    """Dense whose output is returned pre-split into two halves, computed
+    as two dot_generals against halves of ONE (in, 2*out) kernel.
+
+    Same math and the same param tree as ``nn.Dense(2*half)`` followed by
+    a slice — but the round-3 HLO byte model showed the post-GEMM slice
+    materializing a second full-length copy of the first half
+    ((B,L,d_inner) per layer, 906 MB per 2048px b3 forward); two dots
+    write each half exactly once. The kernel slice is on the tiny weight.
+    """
+
+    half: int
+    use_bias: bool
+    kernel_init: Any
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x: Array):
+        k = self.param("kernel", self.kernel_init,
+                       (x.shape[-1], 2 * self.half))
+        k = k.astype(self.dtype)
+        a = jnp.dot(x, k[:, :self.half])
+        b = jnp.dot(x, k[:, self.half:])
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (2 * self.half,)).astype(self.dtype)
+            a = a + bias[None, None, :self.half]
+            b = b + bias[None, None, self.half:]
+        return a, b
+
+
 class MambaMixer(nn.Module):
     """Bidirectional selective-scan token mixer.
 
@@ -287,10 +318,24 @@ class MambaMixer(nn.Module):
         dtype = self.dtype
         x = x.astype(dtype)
 
-        xz = nn.Dense(2 * d_inner, use_bias=self.bias,
-                      kernel_init=torch_linear_init(self.d_model),
-                      dtype=dtype, name="in_proj")(x)
-        xin, z = xz[..., :d_inner], xz[..., d_inner:]
+        # Defaults below are the round-3 MEASURED winners (benchmarks/
+        # ablate_r3_tpu.py @2048 b3): split-inproj 82.2, merge-pooled
+        # 74.4, both+pallas 77.5 vs 86.3 img/s for the round-2 structure
+        # — every byte-reduction restructure lost to XLA's schedule of
+        # the original form (the HLO's "materialized" buffers are
+        # largely VMEM-resident). Kept as env-flag variants for
+        # re-measurement on future compilers.
+        import os
+
+        if os.environ.get("FASTVIM_SPLIT_INPROJ", "0") == "1":
+            xin, z = SplitDense(half=d_inner, use_bias=self.bias,
+                                kernel_init=torch_linear_init(self.d_model),
+                                dtype=dtype, name="in_proj")(x)
+        else:
+            xz = nn.Dense(2 * d_inner, use_bias=self.bias,
+                          kernel_init=torch_linear_init(self.d_model),
+                          dtype=dtype, name="in_proj")(x)
+            xin, z = xz[..., :d_inner], xz[..., d_inner:]
 
         fwd = self._dir_params("")
         bwd = self._dir_params("_b")
@@ -329,16 +374,40 @@ class MambaMixer(nn.Module):
                 # horizontal case (71.8 vs 64.2 img/s @2048 — XLA's conv
                 # op only wins along the non-sublane H axis; CLAUDE.md)
                 xc_f, xc_b = dual_conv1d(*conv_args)
-            y_f = self._scan_branch(xin, fwd, grid_shape, pool_axes,
-                                    row_onehot, xc=xc_f)
-            # reverse branch in original order — no full-length flips
-            y_b = self._scan_branch(xin, bwd, grid_shape, pool_axes,
-                                    row_onehot, reverse=True, xc=xc_b)
+            if (row_onehot is None and self.collapse_method != "none"
+                    and os.environ.get("FASTVIM_MERGE_POOLED", "0") == "1"):
+                # Dense pooled path, merge-at-pooled-level (round-3 byte
+                # model): the two direction outputs are summed on the
+                # COMPRESSED rows sequence and broadcast ONCE —
+                # broadcast(y_f)+broadcast(y_b) == broadcast(y_f+y_b) is
+                # exact, and it halves the full-length broadcast traffic
+                # that the round-2 HLO showed materialized per direction
+                # (2×(B,L,d_inner) per layer, ~1.8 GB per 2048px b3 fwd).
+                yp_f = self._proj_scan(
+                    pool_grid(xc_f, grid_shape, pool_axes,
+                              self.collapse_method, self.scaling_factor),
+                    fwd, scan_reverse=False)
+                yp_b = self._proj_scan(
+                    pool_grid(xc_b, grid_shape, pool_axes,
+                              self.collapse_method, self.scaling_factor),
+                    bwd, scan_reverse=True)
+                y_sum = broadcast_grid((yp_f + yp_b).astype(dtype),
+                                       grid_shape, pool_axes)
+                merged = (y_sum
+                          + fwd[6].astype(dtype)[None, None] * xc_f
+                          + bwd[6].astype(dtype)[None, None] * xc_b)
+                merged = merged * jnp.asarray(0.5, dtype)
+            else:
+                y_f = self._scan_branch(xin, fwd, grid_shape, pool_axes,
+                                        row_onehot, xc=xc_f)
+                # reverse branch in original order — no full-length flips
+                y_b = self._scan_branch(xin, bwd, grid_shape, pool_axes,
+                                        row_onehot, reverse=True, xc=xc_b)
 
-            # merge in working dtype; layer_norm upcasts to fp32
-            # internally (per-element, fused by XLA — no fp32
-            # materialization in HBM)
-            merged = (y_f + y_b) * jnp.asarray(0.5, dtype)
+                # merge in working dtype; layer_norm upcasts to fp32
+                # internally (per-element, fused by XLA — no fp32
+                # materialization in HBM)
+                merged = (y_f + y_b) * jnp.asarray(0.5, dtype)
             if self.use_norm_after_ssm:
                 merged = layer_norm(merged, ln_w, ln_b, eps=self.norm_eps)
             merged = merged * jax.nn.silu(z)

@@ -196,9 +196,18 @@ def selective_scan(
     if impl == "auto":
         L = u.shape[1]
         on_tpu = jax.default_backend() == "tpu"
+        # Pallas threshold 512, MEASURED round 3 (benchmarks/
+        # ablate_r3_tpu.py): routing the pooled rows scan (L=128) to the
+        # Pallas kernel regresses 86.3 → 69.8 img/s @2048 b3 despite the
+        # HLO showing large assoc-scan intermediates — those live in
+        # VMEM (S(1) memory space) and the 48 extra pallas_call launches
+        # lose to XLA's overlapped schedule. Keep assoc for short scans.
+        import os
+
+        min_l = int(os.environ.get("FASTVIM_PALLAS_MIN_L", "512"))
         use_pallas = (
             on_tpu
-            and L >= 512
+            and L >= min_l
             and z is None
             and B.ndim == 3
             and C.ndim == 3
@@ -208,6 +217,23 @@ def selective_scan(
     if impl == "ref":
         fn = selective_scan_ref
     elif impl == "assoc":
+        # Known hazard (measured, CLAUDE.md round-2): XLA's associative-scan
+        # REVERSE autodiff is numerically wrong on TPU at L>=4096 bf16
+        # (rel err up to 1.1 vs fp32 sequential ref; fine at <=2048). The
+        # "auto" dispatch routes long TPU scans to Pallas; a user forcing
+        # impl="assoc" would hit it silently — warn loudly instead.
+        if (reverse and u.shape[1] >= 2048
+                and jax.default_backend() == "tpu"):
+            import warnings
+
+            warnings.warn(
+                "selective_scan(impl='assoc', reverse=True) with L="
+                f"{u.shape[1]} on TPU: XLA associative-scan reverse "
+                "autodiff is numerically unreliable at L>=4096 (measured "
+                "rel err up to 1.1 in bf16). Use impl='pallas' or 'auto' "
+                "for long reversed scans.",
+                stacklevel=2,
+            )
         fn = selective_scan_assoc
     elif impl == "pallas":
         from fastvim_tpu.ops.pallas.selective_scan import selective_scan_pallas

@@ -65,3 +65,25 @@ def test_fused_falls_back_on_unfusable_grid():
     p = mix.init(jax.random.PRNGKey(7), x, (rows, cols))
     y = mix.apply(p, x, (rows, cols))
     assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_flagged_variant_paths_match_default(monkeypatch):
+    """The env-flag restructures (merge-at-pooled-level, split in_proj —
+    measured slower on the round-3 compiler, kept for re-measurement)
+    must stay numerically identical to the default path."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from fastvim_tpu.models.mixer import MambaMixer
+
+    mixer = MambaMixer(d_model=32, d_state=4, collapse_method="mean")
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 24, 32))
+    params = mixer.init(jax.random.PRNGKey(1), x, grid_shape=(4, 6))
+    y0 = mixer.apply(params, x, grid_shape=(4, 6))
+    monkeypatch.setenv("FASTVIM_MERGE_POOLED", "1")
+    monkeypatch.setenv("FASTVIM_SPLIT_INPROJ", "1")
+    y1 = mixer.apply(params, x, grid_shape=(4, 6))
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-5, atol=1e-6)

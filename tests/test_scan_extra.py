@@ -85,3 +85,36 @@ def test_seq_sharded_high_res_forward():
                                    rtol=2e-3, atol=2e-3)
     finally:
         meshmod._MESH = old
+
+
+def test_assoc_reverse_long_l_warns(monkeypatch):
+    """Forcing impl='assoc' with reverse=True at L>=2048 on TPU is the
+    measured numeric hazard (CLAUDE.md round-2) — must warn loudly."""
+    import warnings
+
+    import jax
+    import jax.numpy as jnp
+
+    from fastvim_tpu.ops.scan import selective_scan
+
+    b, L, d, n = 1, 2048, 8, 4
+    u = jnp.ones((b, L, d), jnp.float32)
+    dt = jnp.full((b, L, d), 0.1)
+    A = -jnp.ones((d, n))
+    B = jnp.ones((b, L, n))
+    C = jnp.ones((b, L, n))
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    with pytest.warns(UserWarning, match="assoc.*reverse|reverse.*assoc"):
+        # tracing is enough to hit the guard; abstract eval only
+        jax.eval_shape(
+            lambda *a: selective_scan(*a, impl="assoc", reverse=True),
+            u, dt, A, B, C)
+    # no warning for forward or short reverse
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        jax.eval_shape(
+            lambda *a: selective_scan(*a, impl="assoc"), u, dt, A, B, C)
+        jax.eval_shape(
+            lambda *a: selective_scan(*a, impl="assoc", reverse=True),
+            u[:, :512], dt[:, :512], A, B[:, :512], C[:, :512])
