@@ -64,6 +64,14 @@ def run_training(
     """Returns the final state. Minimal, dependency-free epoch loop."""
     logger = (CSVLogger(os.path.join(save_dir, "log.csv"))
               if save_dir else None)
+    # TensorBoard scalars alongside the CSV (the reference's detection
+    # recipe configures a TensorboardVisBackend,
+    # lsj-100e_coco-instance.py:135); dependency-free writer.
+    tb = None
+    if save_dir:
+        from fastvim_tpu.utils.tboard import SummaryWriter
+
+        tb = SummaryWriter(os.path.join(save_dir, "tb"))
     start_epoch = 0
     if resume and save_dir:
         path = latest_checkpoint(os.path.join(save_dir, "ckpt"))
@@ -130,6 +138,10 @@ def run_training(
                for k, v in row.items()})
         if logger:
             logger.log(row)
+        if tb is not None:
+            tb.add_scalars(int(state.step), row)
         if save_dir and (epoch + 1) % ckpt_every == 0:
             save_checkpoint(os.path.join(save_dir, "ckpt"), state)
+    if tb is not None:
+        tb.close()
     return state
