@@ -200,6 +200,10 @@ class MambaMixer(nn.Module):
     def _proj_scan(self, xp: Array, params, scan_reverse: bool) -> Array:
         """x_proj → dt/B/C → dt_proj → selective scan on a (compressed)
         sequence; pointwise projections commute with scan direction."""
+        import os
+
+        if "noscan" in os.environ.get("FASTVIM_COMPONENT_ABLATE", ""):
+            return xp  # ablation only (benchmarks/component_cost_tpu.py)
         _, _, x_proj_w, dt_w, dt_b, A_log, _ = params
         dtype = self.dtype
         dbl = jnp.dot(xp.astype(dtype), x_proj_w.astype(dtype))
@@ -365,7 +369,13 @@ class MambaMixer(nn.Module):
                 None if fwd[1] is None else fwd[1].astype(dtype),
                 bwd[0].astype(dtype),
                 None if bwd[1] is None else bwd[1].astype(dtype))
-            if transposed:
+            # component-cost ablation (benchmarks/component_cost_tpu.py):
+            # short-circuit one stage; numerics change, speed is the
+            # signal. Never set in production.
+            _abl = os.environ.get("FASTVIM_COMPONENT_ABLATE", "full")
+            if "noconv" in _abl:
+                xc_f = xc_b = jax.nn.silu(xin)
+            elif transposed:
                 xc_f, xc_b = grid_dual_conv1d(*conv_args, grid_shape,
                                               axis=0)
             else:
@@ -408,9 +418,13 @@ class MambaMixer(nn.Module):
                 # internally (per-element, fused by XLA — no fp32
                 # materialization in HBM)
                 merged = (y_f + y_b) * jnp.asarray(0.5, dtype)
-            if self.use_norm_after_ssm:
-                merged = layer_norm(merged, ln_w, ln_b, eps=self.norm_eps)
-            merged = merged * jax.nn.silu(z)
+            if "nomerge" in _abl:
+                pass  # ablation: skip LN+gate
+            else:
+                if self.use_norm_after_ssm:
+                    merged = layer_norm(merged, ln_w, ln_b,
+                                        eps=self.norm_eps)
+                merged = merged * jax.nn.silu(z)
 
         out = nn.Dense(
             self.d_model, use_bias=self.bias,
