@@ -127,7 +127,7 @@ def bench_segmentation(img, batch):
     def body(i, st):
         def loss_fn(p):
             logits, aux = seg.apply(p, x)
-            return segmentation_loss(logits, aux, y, 255)["loss"]
+            return segmentation_loss(logits, y, aux_logits=aux)
 
         loss, grads = jax.value_and_grad(loss_fn)(st.params)
         return st.apply_gradients(grads)
