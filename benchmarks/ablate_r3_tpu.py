@@ -30,6 +30,10 @@ COMBOS = [
     ("all", {"FASTVIM_PALLAS_MIN_L": "64",
              "FASTVIM_MERGE_POOLED": "1",
              "FASTVIM_SPLIT_INPROJ": "1"}),
+    ("paired-scan", {"FASTVIM_PALLAS_MIN_L": "512",
+                     "FASTVIM_MERGE_POOLED": "0",
+                     "FASTVIM_SPLIT_INPROJ": "0",
+                     "FASTVIM_PAIRED_SCAN": "1"}),
 ]
 
 

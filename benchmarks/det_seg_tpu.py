@@ -77,9 +77,10 @@ def bench_detection(img, batch, max_gt=16):
         gt_masks=jnp.ones((batch, max_gt, img, img), jnp.uint8),
         gt_valid=jnp.ones((batch, max_gt), bool))
     t0 = time.time()
-    params = model.init({"params": rng, "sampler": rng}, x[:1],
-                        **{k: v[:1] for k, v in g.items()},
-                        deterministic=True)
+    params = jax.jit(
+        lambda: model.init({"params": rng, "sampler": rng}, x[:1],
+                           **{k: v[:1] for k, v in g.items()},
+                           deterministic=True))()
     t_init = time.time() - t0
     tx = make_optimizer(lambda s: 1e-4, weight_decay=0.05, params=params)
     state = TrainState.create(params, tx)
@@ -126,7 +127,7 @@ def bench_segmentation(img, batch):
 
     def body(i, st):
         def loss_fn(p):
-            logits, aux = seg.apply(p, x)
+            logits, aux = seg.apply(p, x, with_aux=True)
             return segmentation_loss(logits, y, aux_logits=aux)
 
         loss, grads = jax.value_and_grad(loss_fn)(st.params)

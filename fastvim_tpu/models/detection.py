@@ -30,6 +30,7 @@ from fastvim_tpu.models.heads import SimpleFPN
 from fastvim_tpu.ops.boxes import (
     delta_decode,
     delta_encode,
+    fast_nms,
     generate_anchors,
     max_iou_assign,
     multilevel_roi_align,
@@ -168,9 +169,16 @@ class CascadeMaskRCNN(nn.Module):
         return [(int(offs[i]), int(offs[i + 1]))
                 for i in range(len(sizes))]
 
-    def _proposals(self, anchors, logits_i, deltas_i, slices):
+    def _proposals(self, anchors, logits_i, deltas_i, slices,
+                   fast: bool = False):
         """Per-level top-k → joint static NMS → (num_proposals, 4) +
-        valid (mmdet rpn_proposal: nms_pre, iou 0.7)."""
+        valid (mmdet rpn_proposal: nms_pre, iou 0.7).
+
+        fast=True uses one-shot matrix NMS (ops/boxes.fast_nms) — the
+        training path's choice: the exact greedy scan's num_proposals-
+        deep sequential dependency dominated the cascade train step on
+        TPU; proposal sampling tolerates the slightly more aggressive
+        suppression. Eval keeps exact NMS."""
         top_boxes, top_scores = [], []
         for (a, b) in slices:
             k = min(self.nms_pre, b - a)
@@ -186,7 +194,8 @@ class CascadeMaskRCNN(nn.Module):
         wh_ok = ((boxes[:, 2] - boxes[:, 0]) > 1e-3) & \
             ((boxes[:, 3] - boxes[:, 1]) > 1e-3)
         scores = jnp.where(wh_ok, scores, -jnp.inf)
-        keep, valid = nms(boxes, scores, 0.7, self.num_proposals)
+        nms_fn = fast_nms if fast else nms
+        keep, valid = nms_fn(boxes, scores, 0.7, self.num_proposals)
         return boxes[keep], valid
 
     # ------------------------------------------------------------------
@@ -241,7 +250,7 @@ class CascadeMaskRCNN(nn.Module):
             reg_l = jnp.sum(reg.sum(-1) * (is_pos & valid)) / denom
             pb, pv = self._proposals(anchors, logit_i,
                                      jax.lax.stop_gradient(delta_i),
-                                     slices)
+                                     slices, fast=True)
             return cls_l, reg_l, jax.lax.stop_gradient(pb), pv
 
         rpn_cls_l, rpn_reg_l, props, pvalid = jax.vmap(rpn_one)(

@@ -215,6 +215,40 @@ class MambaMixer(nn.Module):
                               delta_bias=dt_b, delta_softplus=True,
                               impl=self.scan_impl, reverse=scan_reverse)
 
+    def _paired_proj_scan(self, xp_f: Array, xp_b: Array, fwd, bwd):
+        """Both direction scans in ONE associative scan (round-3
+        experiment, FASTVIM_PAIRED_SCAN=1): the reverse branch's pooled
+        inputs are flipped (rows-length — tiny), both directions are
+        concatenated on the CHANNEL axis with grouped B/C (one group per
+        direction, the (batch, L, g, n) layout), and a single
+        forward-direction scan of width 2·d_inner replaces two scans —
+        half the sequential combine stages per layer, each twice as wide.
+        Returns (yp_f, yp_b) in original row order."""
+        dtype = self.dtype
+        r, n = self.dt_rank_, self.d_state
+
+        def proj(xp, params):
+            _, _, x_proj_w, dt_w, _, _, _ = params
+            dbl = jnp.dot(xp.astype(dtype), x_proj_w.astype(dtype))
+            dt = jnp.dot(dbl[..., :r], dt_w.astype(dtype))
+            return dt, dbl[..., r:r + n], dbl[..., r + n:]
+
+        dt_f, B_f, C_f = proj(xp_f, fwd)
+        dt_b, B_b, C_b = proj(xp_b, bwd)
+        flip = lambda t: t[:, ::-1]
+        u = jnp.concatenate([xp_f.astype(dtype),
+                             flip(xp_b.astype(dtype))], axis=-1)
+        dt = jnp.concatenate([dt_f, flip(dt_b)], axis=-1)
+        Bc = jnp.stack([B_f, flip(B_b)], axis=2)  # (batch, rows, 2, n)
+        Cc = jnp.stack([C_f, flip(C_b)], axis=2)
+        A = -jnp.exp(jnp.concatenate(
+            [fwd[5], bwd[5]]).astype(jnp.float32))       # (2·d_inner, n)
+        db = jnp.concatenate([fwd[4], bwd[4]])
+        y = selective_scan(u, dt, A, Bc, Cc, D=None, delta_bias=db,
+                           delta_softplus=True, impl="assoc")
+        d_inner = self.d_inner
+        return y[..., :d_inner], flip(y[..., d_inner:])
+
     def _scan_branch(self, x: Array, params, grid_shape, pool_axes,
                      row_onehot: Optional[Array] = None,
                      reverse: bool = False,
@@ -385,6 +419,21 @@ class MambaMixer(nn.Module):
                 # op only wins along the non-sublane H axis; CLAUDE.md)
                 xc_f, xc_b = dual_conv1d(*conv_args)
             if (row_onehot is None and self.collapse_method != "none"
+                    and os.environ.get("FASTVIM_PAIRED_SCAN", "0") == "1"):
+                yp_f, yp_b = self._paired_proj_scan(
+                    pool_grid(xc_f, grid_shape, pool_axes,
+                              self.collapse_method, self.scaling_factor),
+                    pool_grid(xc_b, grid_shape, pool_axes,
+                              self.collapse_method, self.scaling_factor),
+                    fwd, bwd)
+                y_f = broadcast_grid(yp_f.astype(dtype), grid_shape,
+                                     pool_axes) \
+                    + fwd[6].astype(dtype)[None, None] * xc_f
+                y_b = broadcast_grid(yp_b.astype(dtype), grid_shape,
+                                     pool_axes) \
+                    + bwd[6].astype(dtype)[None, None] * xc_b
+                merged = (y_f + y_b) * jnp.asarray(0.5, dtype)
+            elif (row_onehot is None and self.collapse_method != "none"
                     and os.environ.get("FASTVIM_MERGE_POOLED", "0") == "1"):
                 # Dense pooled path, merge-at-pooled-level (round-3 byte
                 # model): the two direction outputs are summed on the

@@ -149,6 +149,39 @@ def nms(boxes: Array, scores: Array, iou_threshold: float,
     return idx, valid
 
 
+def fast_nms(boxes: Array, scores: Array, iou_threshold: float,
+             max_out: int) -> Tuple[Array, Array]:
+    """One-shot matrix NMS (YOLACT "Fast NMS"): box i is kept iff no
+    HIGHER-SCORED box overlaps it above the threshold — computed with a
+    single sort + one (N,N) IoU + a row max instead of ``max_out``
+    sequential suppression rounds.
+
+    Slightly more aggressive than exact greedy NMS (a box suppressed by
+    an already-suppressed box stays suppressed), which is why the
+    reference-exact `nms` remains the eval path; training proposal
+    generation tolerates it (round-3 TPU finding: the sequential scan's
+    ~max_out-deep dependency chain dominated the cascade train step).
+    Same contract as `nms`: (indices (max_out,), valid (max_out,)).
+    """
+    n = boxes.shape[0]
+    scores = jnp.where(jnp.isfinite(scores), scores, -jnp.inf)
+    order = jnp.argsort(-scores)
+    b = boxes[order]
+    iou = box_iou(b, b)
+    # upper triangle: iou[i, j] with i < j = "higher-scored i vs j"
+    tri = jnp.triu(iou, k=1)
+    suppressed = (tri > iou_threshold).any(axis=0)
+    keep = (~suppressed) & jnp.isfinite(scores[order])
+    # stable-select the first max_out kept (sorted order = score order)
+    rank = jnp.cumsum(keep) - 1
+    sel = keep & (rank < max_out)
+    out_idx = jnp.zeros((max_out,), jnp.int32)
+    out_idx = out_idx.at[jnp.where(sel, rank, max_out)[:n]].set(
+        order.astype(jnp.int32), mode="drop")
+    out_valid = jnp.arange(max_out) < sel.sum()
+    return out_idx, out_valid
+
+
 # --------------------------------------------------------------------
 # MaxIoUAssigner (mmdet semantics)
 # --------------------------------------------------------------------

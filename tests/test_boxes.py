@@ -142,3 +142,46 @@ def test_random_sample_tops_up_negatives_when_positives_scarce():
     a = np.asarray(assigned)[np.asarray(idx)]
     assert all(a[i] == -1 for i in range(256)
                if valid[i] and not is_pos[i])
+
+
+def test_fast_nms_matches_exact_on_separated_boxes():
+    """Non-overlapping boxes: fast NMS == exact NMS (all kept, score
+    order)."""
+    from fastvim_tpu.ops.boxes import fast_nms, nms
+
+    boxes = jnp.asarray([[0, 0, 10, 10], [20, 20, 30, 30],
+                         [40, 40, 50, 50], [60, 60, 70, 70]], jnp.float32)
+    scores = jnp.asarray([0.9, 0.8, 0.95, 0.7])
+    i1, v1 = nms(boxes, scores, 0.5, 4)
+    i2, v2 = fast_nms(boxes, scores, 0.5, 4)
+    assert v1.all() and v2.all()
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_fast_nms_suppresses_overlaps():
+    from fastvim_tpu.ops.boxes import fast_nms
+
+    boxes = jnp.asarray([[0, 0, 10, 10], [1, 1, 11, 11],
+                         [20, 20, 30, 30]], jnp.float32)
+    scores = jnp.asarray([0.9, 0.95, 0.5])
+    idx, valid = fast_nms(boxes, scores, 0.5, 3)
+    # box 1 (highest) kept, box 0 suppressed by it, box 2 kept
+    kept = set(np.asarray(idx)[np.asarray(valid)].tolist())
+    assert kept == {1, 2}
+    # -inf scores never selected
+    scores2 = jnp.asarray([0.9, -np.inf, 0.5])
+    idx2, valid2 = fast_nms(boxes, scores2, 0.5, 3)
+    kept2 = set(np.asarray(idx2)[np.asarray(valid2)].tolist())
+    assert kept2 == {0, 2}
+
+
+def test_fast_nms_max_out_truncation():
+    from fastvim_tpu.ops.boxes import fast_nms
+
+    boxes = jnp.stack([jnp.asarray([i * 20.0, 0, i * 20.0 + 10, 10])
+                       for i in range(6)])
+    scores = jnp.asarray([0.6, 0.9, 0.3, 0.8, 0.7, 0.5])
+    idx, valid = fast_nms(boxes, scores, 0.5, 3)
+    assert valid.sum() == 3
+    # highest three scores in order
+    np.testing.assert_array_equal(np.asarray(idx[:3]), [1, 3, 4])

@@ -87,3 +87,30 @@ def test_flagged_variant_paths_match_default(monkeypatch):
     y1 = mixer.apply(params, x, grid_shape=(4, 6))
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_paired_scan_variant_matches_default(monkeypatch):
+    """FASTVIM_PAIRED_SCAN=1: both direction scans fused into one grouped
+    double-width scan — must match the two-scan default numerically."""
+    import numpy as np
+
+    import jax
+
+    from fastvim_tpu.models.mixer import MambaMixer
+
+    mixer = MambaMixer(d_model=32, d_state=4, collapse_method="mean")
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 24, 32))
+    params = mixer.init(jax.random.PRNGKey(3), x, grid_shape=(4, 6))
+    y0 = mixer.apply(params, x, grid_shape=(4, 6))
+    monkeypatch.setenv("FASTVIM_PAIRED_SCAN", "1")
+    y1 = mixer.apply(params, x, grid_shape=(4, 6))
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-5, atol=1e-6)
+    # transposed (odd-layer) orientation too
+    y0t = mixer.apply(params, x, grid_shape=(6, 4), pool_axes=(0,),
+                      transposed=True)
+    monkeypatch.delenv("FASTVIM_PAIRED_SCAN")
+    y1t = mixer.apply(params, x, grid_shape=(6, 4), pool_axes=(0,),
+                      transposed=True)
+    np.testing.assert_allclose(np.asarray(y0t), np.asarray(y1t),
+                               rtol=1e-5, atol=1e-6)
