@@ -121,7 +121,7 @@ def bench_segmentation(img, batch):
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (batch, img, img, 3), jnp.float32)
     y = jnp.zeros((batch, img, img), jnp.int32)
-    params = seg.init(rng, x[:1])
+    params = jax.jit(lambda: seg.init(rng, x[:1], with_aux=True))()
     tx = make_optimizer(lambda s: 1e-4, weight_decay=0.01, params=params)
     state = TrainState.create(params, tx)
 

@@ -264,31 +264,27 @@ def roi_align(feat: Array, rois: Array, out_size: int,
     ys = y1[:, None] + steps[None, :] * bh[:, None] - 0.5  # (R, s)
     xs = x1[:, None] + steps[None, :] * bw[:, None] - 0.5
 
-    y0 = jnp.clip(jnp.floor(ys), 0, H - 1)
-    x0 = jnp.clip(jnp.floor(xs), 0, W - 1)
-    y1i = jnp.clip(y0 + 1, 0, H - 1).astype(jnp.int32)
-    x1i = jnp.clip(x0 + 1, 0, W - 1).astype(jnp.int32)
-    wy = jnp.clip(ys, 0, H - 1) - y0
-    wx = jnp.clip(xs, 0, W - 1) - x0
-    y0 = y0.astype(jnp.int32)
-    x0 = x0.astype(jnp.int32)
-
-    def gather(yi, xi):
-        # (R, s, s, C) from (H, W, C)
-        return feat[yi[:, :, None], xi[:, None, :]]
-
-    v00 = gather(y0, x0)
-    v01 = gather(y0, x1i)
-    v10 = gather(y1i, x0)
-    v11 = gather(y1i, x1i)
-    wy_ = wy[:, :, None, None]
-    wx_ = wx[:, None, :, None]
-    val = (v00 * (1 - wy_) * (1 - wx_) + v01 * (1 - wy_) * wx_
-           + v10 * wy_ * (1 - wx_) + v11 * wy_ * wx_)
-    # average the sampling² samples in each output bin
+    # MXU formulation (round 3): bilinear sampling as two hat-function
+    # interpolation matmuls instead of 4 corner gathers — TPU gathers of
+    # ~R·s² 1-pixel slices dominated the cascade train step (2.8 s @512
+    # b2); dense einsums ride the MXU. The hat weight
+    # max(0, 1-|coord-i|) over clipped coords reproduces the 2-tap
+    # bilinear kernel (incl. the edge-clamp semantics) exactly, and the
+    # per-bin sampling² average is folded into the Y/X matrices, making
+    # the contraction s× cheaper than sampling the full grid.
+    ys = jnp.clip(ys, 0, H - 1)
+    xs = jnp.clip(xs, 0, W - 1)
     R = rois.shape[0]
-    val = val.reshape(R, out_size, sampling, out_size, sampling, C)
-    return val.mean(axis=(2, 4))
+    dt = feat.dtype
+    iy = jnp.arange(H, dtype=dt)
+    ix = jnp.arange(W, dtype=dt)
+    Ymat = jnp.maximum(0, 1 - jnp.abs(ys[..., None] - iy))  # (R, s, H)
+    Xmat = jnp.maximum(0, 1 - jnp.abs(xs[..., None] - ix))  # (R, s, W)
+    # fold the in-bin average: (R, out, H) / (R, out, W)
+    Ymat = Ymat.reshape(R, out_size, sampling, H).mean(axis=2)
+    Xmat = Xmat.reshape(R, out_size, sampling, W).mean(axis=2)
+    tmp = jnp.einsum("rih,hwc->riwc", Ymat, feat)
+    return jnp.einsum("riwc,rjw->rijc", tmp, Xmat)
 
 
 def multilevel_roi_align(feats: Sequence[Array], rois: Array,
