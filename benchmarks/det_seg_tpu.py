@@ -77,10 +77,12 @@ def bench_detection(img, batch, max_gt=16):
         gt_masks=jnp.ones((batch, max_gt, img, img), jnp.uint8),
         gt_valid=jnp.ones((batch, max_gt), bool))
     t0 = time.time()
+    # args (not closure constants) so XLA doesn't constant-fold the
+    # whole init during compilation
     params = jax.jit(
-        lambda: model.init({"params": rng, "sampler": rng}, x[:1],
-                           **{k: v[:1] for k, v in g.items()},
-                           deterministic=True))()
+        lambda r_, x_, g_: model.init({"params": r_, "sampler": r_}, x_,
+                                      **g_, deterministic=True))(
+        rng, x[:1], {k: v[:1] for k, v in g.items()})
     t_init = time.time() - t0
     tx = make_optimizer(lambda s: 1e-4, weight_decay=0.05, params=params)
     state = TrainState.create(params, tx)
