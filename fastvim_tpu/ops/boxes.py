@@ -283,8 +283,22 @@ def roi_align(feat: Array, rois: Array, out_size: int,
     # fold the in-bin average: (R, out, H) / (R, out, W)
     Ymat = Ymat.reshape(R, out_size, sampling, H).mean(axis=2)
     Xmat = Xmat.reshape(R, out_size, sampling, W).mean(axis=2)
-    tmp = jnp.einsum("rih,hwc->riwc", Ymat, feat)
-    return jnp.einsum("riwc,rjw->rijc", tmp, Xmat)
+
+    def chunk_align(args):
+        Y, X = args
+        tmp = jnp.einsum("rih,hwc->riwc", Y, feat)
+        return jnp.einsum("riwc,rjw->rijc", tmp, X)
+
+    # chunk rois so the (chunk, out, W, C) intermediate stays bounded
+    # (~512 rois x 7 x 128 x 256 f32 was ~470 MB per image-level and
+    # OOM'd the cascade at batch 8)
+    chunk = 64
+    if R <= chunk or R % chunk:
+        return chunk_align((Ymat, Xmat))
+    Yc = Ymat.reshape(R // chunk, chunk, out_size, H)
+    Xc = Xmat.reshape(R // chunk, chunk, out_size, W)
+    out = jax.lax.map(chunk_align, (Yc, Xc))
+    return out.reshape(R, out_size, out_size, C)
 
 
 def multilevel_roi_align(feats: Sequence[Array], rois: Array,
