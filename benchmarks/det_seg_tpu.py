@@ -13,6 +13,7 @@ Usage: python benchmarks/det_seg_tpu.py [--task det|seg|both]
 import argparse
 import functools
 import json
+import os
 import time
 
 import jax
@@ -66,7 +67,9 @@ def bench_detection(img, batch, max_gt=16):
     from fastvim_tpu.train import TrainState, make_optimizer
 
     cfg = load_config("vitdet_FastVimT_coco", domain="detection",
-                      overrides=[f"img_size={img}"])
+                      overrides=[f"img_size={img}",
+                                 "dtype=" + os.environ.get(
+                                     "DET_DTYPE", "bf16")])
     model, depth = build_model(cfg)
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (batch, img, img, 3), jnp.float32)

@@ -31,10 +31,11 @@ def build_model(cfg):
 
     depth = cfg.get("depth")
     out_indices = cfg.get("out_indices")
+    dtype = jnp.bfloat16 if cfg.get("dtype") == "bf16" else jnp.float32
     backbone = create_model(
         cfg["model"], img_size=cfg["img_size"],
         patch_size=cfg.get("patch_size", 16), num_classes=0,
-        drop_path_rate=cfg.get("drop_path_rate", 0.0),
+        drop_path_rate=cfg.get("drop_path_rate", 0.0), dtype=dtype,
         out_indices=tuple(out_indices) if out_indices else None)
     embed_dim = getattr(backbone, "embed_dim")
     if depth is None:
@@ -49,6 +50,7 @@ def build_model(cfg):
         nms_pre=det_cfg.get("nms_pre", 1000),
         num_proposals=det_cfg.get("num_proposals", 512),
         rcnn_sample=det_cfg.get("rcnn_sample", 512),
+        dtype=dtype,
     )
     return model, depth
 
