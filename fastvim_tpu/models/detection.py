@@ -283,17 +283,30 @@ class CascadeMaskRCNN(nn.Module):
                 regt = delta_encode(rois, gtb[g], stds=stds)
                 rfeat7 = multilevel_roi_align(list(feats_i), rois, 7,
                                               ROI_STRIDES)
-                rfeat14 = multilevel_roi_align(list(feats_i), rois, 14,
+                # mask branch on POSITIVES only (mmdet pos_rois,
+                # cascade_roi_head mask forward): the sampler caps
+                # positives at rcnn_sample*pos_fraction, so packing them
+                # into M slots is exact — and it cut the mask head's
+                # activations/FLOPs 4x (the b8@512 OOM, round 3)
+                M = max(1, int(self.rcnn_sample * 0.25))
+                pos_rank = jnp.cumsum(is_pos) - 1
+                midx = jnp.zeros((M,), jnp.int32).at[
+                    jnp.where(is_pos, pos_rank, M)].set(
+                    jnp.arange(self.rcnn_sample), mode="drop")
+                mvalid = jnp.arange(M) < (is_pos & valid).sum()
+                rois_m = rois[midx]
+                rfeat14 = multilevel_roi_align(list(feats_i), rois_m, 14,
                                                ROI_STRIDES)
                 crop = jax.vmap(
                     lambda m, r: roi_align(m[..., None], r[None],
                                            self.mask_size, 1.0)[0, ..., 0]
-                )(gtm[g].astype(jnp.float32), rois)
+                )(gtm[g[midx]].astype(jnp.float32), rois_m)
                 mt = (crop > 0.5).astype(jnp.float32)
-                return rois, rfeat7, rfeat14, lbl, regt, is_pos, valid, mt
+                return (rois, rfeat7, rfeat14, lbl, regt, is_pos, valid,
+                        mt, lbl[midx], mvalid)
 
             (rois_b, rfeat7, rfeat14, labels_b, regt_b, pos_b, valid_b,
-             mt_b) = jax.vmap(stage_one)(
+             mt_b, mlab_b, mvalid_b) = jax.vmap(stage_one)(
                 stage_rngs, props, pvalid, gt_boxes, gt_valid, gt_labels,
                 gt_masks, *feats[:4])  # RoI levels only (5th is RPN-only)
 
@@ -314,13 +327,15 @@ class CascadeMaskRCNN(nn.Module):
                 jnp.sum(rl.sum(-1) * (is_pos & valid)) / denom
 
             # mask branch on this stage's positives (shared head)
+            M = rfeat14.shape[1]
             mask_logits = mask_head(
-                rfeat14.reshape(B * N, *rfeat14.shape[2:]))
-            mpos = (pos_b & valid_b).reshape(B * N)
-            mt = mt_b.reshape(B * N, self.mask_size, self.mask_size)
+                rfeat14.reshape(B * M, *rfeat14.shape[2:]))
+            mpos = mvalid_b.reshape(B * M)
+            mlab = mlab_b.reshape(B * M)
+            mt = mt_b.reshape(B * M, self.mask_size, self.mask_size)
             sel = jnp.take_along_axis(
                 mask_logits,
-                jnp.clip(labels, 0, self.num_classes - 1)[
+                jnp.clip(mlab, 0, self.num_classes - 1)[
                     :, None, None, None], axis=-1)[..., 0]
             sel = sel.astype(jnp.float32)
             mbce = jnp.maximum(sel, 0) - sel * mt + \
