@@ -418,7 +418,43 @@ class MambaMixer(nn.Module):
                 # horizontal case (71.8 vs 64.2 img/s @2048 — XLA's conv
                 # op only wins along the non-sublane H axis; CLAUDE.md)
                 xc_f, xc_b = dual_conv1d(*conv_args)
-            if (row_onehot is None and self.collapse_method != "none"
+            # default "0": MEASURED LOSS @2048 b3 (77.4 vs 86.6 img/s,
+            # round 3) — the merge chain's time is latency-hidden work
+            # XLA overlaps with the MXU stream; a custom call forfeits
+            # the overlap. Kept as an opt-in documented negative.
+            _fm = os.environ.get("FASTVIM_FUSED_MERGE", "0")
+            use_fused_merge = (
+                row_onehot is None and self.collapse_method != "none"
+                and (_fm == "1" or
+                     (_fm == "auto"
+                      and jax.default_backend() == "tpu")))
+            if use_fused_merge:
+                from fastvim_tpu.ops.pallas.merge_gate import fusable
+                use_fused_merge = fusable(tuple(grid_shape),
+                                          tuple(pool_axes), d_inner)
+            if use_fused_merge:
+                # Round-3 measured winner: the broadcast+D-skip+merge+
+                # LN+gate chain was 10.3 ms of the 34.7 ms 2048px b3
+                # forward (3x its HBM roofline) — one Pallas kernel does
+                # it in a single pass (ops/pallas/merge_gate.py).
+                from fastvim_tpu.ops.pallas.merge_gate import (
+                    merge_ln_gate,
+                )
+
+                yp_f = self._proj_scan(
+                    pool_grid(xc_f, grid_shape, pool_axes,
+                              self.collapse_method, self.scaling_factor),
+                    fwd, scan_reverse=False)
+                yp_b = self._proj_scan(
+                    pool_grid(xc_b, grid_shape, pool_axes,
+                              self.collapse_method, self.scaling_factor),
+                    bwd, scan_reverse=True)
+                merged = merge_ln_gate(
+                    xc_f, xc_b, z, yp_f, yp_b, fwd[6], bwd[6],
+                    ln_w, ln_b, tuple(grid_shape), tuple(pool_axes),
+                    self.norm_eps, self.use_norm_after_ssm,
+                    jax.default_backend() != "tpu")
+            elif (row_onehot is None and self.collapse_method != "none"
                     and os.environ.get("FASTVIM_PAIRED_SCAN", "0") == "1"):
                 yp_f, yp_b = self._paired_proj_scan(
                     pool_grid(xc_f, grid_shape, pool_axes,
@@ -467,8 +503,8 @@ class MambaMixer(nn.Module):
                 # internally (per-element, fused by XLA — no fp32
                 # materialization in HBM)
                 merged = (y_f + y_b) * jnp.asarray(0.5, dtype)
-            if "nomerge" in _abl:
-                pass  # ablation: skip LN+gate
+            if use_fused_merge or "nomerge" in _abl:
+                pass  # LN+gate already fused in / ablated out
             else:
                 if self.use_norm_after_ssm:
                     merged = layer_norm(merged, ln_w, ln_b,

@@ -114,3 +114,42 @@ def test_paired_scan_variant_matches_default(monkeypatch):
                       transposed=True)
     np.testing.assert_allclose(np.asarray(y0t), np.asarray(y1t),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_fused_merge_ln_gate_matches_default(monkeypatch):
+    """FASTVIM_FUSED_MERGE=1 (Pallas interpret on CPU): the fused
+    broadcast+D-skip+merge+LN+gate kernel must match the XLA path, both
+    grid orientations, and be differentiable (recompute VJP)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from fastvim_tpu.models.mixer import MambaMixer
+
+    mixer = MambaMixer(d_model=64, d_state=4, collapse_method="mean")
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 128, 64))
+    params = mixer.init(jax.random.PRNGKey(5), x, grid_shape=(16, 8))
+    y0 = mixer.apply(params, x, grid_shape=(16, 8))
+    y0t = mixer.apply(params, x, grid_shape=(16, 8), pool_axes=(0,),
+                      transposed=True)
+
+    def loss(p):
+        return jnp.sum(mixer.apply(p, x, grid_shape=(16, 8)) ** 2)
+
+    g0 = jax.grad(loss)(params)
+
+    monkeypatch.setenv("FASTVIM_FUSED_MERGE", "1")
+    y1 = mixer.apply(params, x, grid_shape=(16, 8))
+    y1t = mixer.apply(params, x, grid_shape=(16, 8), pool_axes=(0,),
+                      transposed=True)
+    g1 = jax.grad(loss)(params)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(y1t), np.asarray(y0t),
+                               rtol=2e-5, atol=2e-5)
+    def cmp(v0, v1):
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
+                                   rtol=5e-4, atol=1e-5)
+
+    jax.tree.map(cmp, g0, g1)
