@@ -173,24 +173,44 @@ def grid_dual_conv1d(
         return back(yc), back(ya)
     xg = x.reshape(B, H, W, d)
     dn = ("NHWC", "HWIO", "NHWC")
-    if axis == 0:
-        filt_c = weight_c[:, None, None, :]        # (width, 1, 1, d)
-        filt_a = weight_a[::-1, None, None, :]
-        pad_c = [(width - 1, 0), (0, 0)]
-        pad_a = [(0, width - 1), (0, 0)]
+    import os
+
+    if axis == 0 and os.environ.get("FASTVIM_GRIDCONV", "conv") == "shift":
+        # H-axis shifted-add variant: shifts along H (a major dim in
+        # NHWC) are plain offset slices — no lane/sublane relayout,
+        # unlike the conv op whose layout assignment inserted
+        # (B,H,W,d) transposed copies (round-3 HLO audit). Shares the 7
+        # padded slices between both directions like dual_conv1d.
+        pad = width - 1
+        xp = jnp.pad(xg, ((0, 0), (pad, pad), (0, 0), (0, 0)))
+        shifts = [xp[:, j:j + H] for j in range(2 * pad + 1)]
+        yc = None
+        ya = None
+        for k in range(width):
+            tc = shifts[k] * weight_c[k][None, None, None, :]
+            yc = tc if yc is None else yc + tc
+            ta = shifts[pad + k] * weight_a[width - 1 - k][None, None,
+                                                           None, :]
+            ya = ta if ya is None else ya + ta
     else:
-        filt_c = weight_c[None, :, None, :]        # (1, width, 1, d)
-        filt_a = weight_a[None, ::-1, None, :]
-        pad_c = [(0, 0), (width - 1, 0)]
-        pad_a = [(0, 0), (0, width - 1)]
-    yc = jax.lax.conv_general_dilated(
-        xg, filt_c, window_strides=(1, 1), padding=pad_c,
-        feature_group_count=d, dimension_numbers=dn,
-        preferred_element_type=xg.dtype)
-    ya = jax.lax.conv_general_dilated(
-        xg, filt_a, window_strides=(1, 1), padding=pad_a,
-        feature_group_count=d, dimension_numbers=dn,
-        preferred_element_type=xg.dtype)
+        if axis == 0:
+            filt_c = weight_c[:, None, None, :]    # (width, 1, 1, d)
+            filt_a = weight_a[::-1, None, None, :]
+            pad_c = [(width - 1, 0), (0, 0)]
+            pad_a = [(0, width - 1), (0, 0)]
+        else:
+            filt_c = weight_c[None, :, None, :]    # (1, width, 1, d)
+            filt_a = weight_a[None, ::-1, None, :]
+            pad_c = [(0, 0), (width - 1, 0)]
+            pad_a = [(0, 0), (0, width - 1)]
+        yc = jax.lax.conv_general_dilated(
+            xg, filt_c, window_strides=(1, 1), padding=pad_c,
+            feature_group_count=d, dimension_numbers=dn,
+            preferred_element_type=xg.dtype)
+        ya = jax.lax.conv_general_dilated(
+            xg, filt_a, window_strides=(1, 1), padding=pad_a,
+            feature_group_count=d, dimension_numbers=dn,
+            preferred_element_type=xg.dtype)
     # boundary-wrap corrections along the conv axis, pulling from the
     # neighbouring line on the OTHER axis
     if axis == 0:
