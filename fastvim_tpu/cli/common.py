@@ -3,11 +3,38 @@
 from __future__ import annotations
 
 import argparse
+import os
 from typing import Any, Dict, Optional
 
 import jax
 
 from fastvim_tpu.config import load_config
+
+
+def enable_compilation_cache(cache_dir: Optional[str] = None) -> None:
+    """Turn on JAX's persistent (on-disk) compilation cache.
+
+    The detection/segmentation programs compile in minutes at recipe
+    scale (STATUS.md round-3: cascade train step 2-20 min); the cache
+    makes every compile after the first per (program, topology) a disk
+    read. Default dir ~/.cache/fastvim_tpu/xla, override with
+    FASTVIM_COMPILE_CACHE (set to "0" to disable). Safe to call more
+    than once; failures (e.g. a backend that cannot serialize
+    executables) degrade to a warning, never an error."""
+    env = os.environ.get("FASTVIM_COMPILE_CACHE", "")
+    if env == "0":
+        return
+    cache_dir = os.path.expanduser(
+        env or cache_dir or "~/.cache/fastvim_tpu/xla")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception as e:  # pragma: no cover - backend-dependent
+        import warnings
+
+        warnings.warn(f"persistent compilation cache unavailable: {e}")
 
 
 def base_parser(description: str) -> argparse.ArgumentParser:
@@ -30,6 +57,7 @@ def base_parser(description: str) -> argparse.ArgumentParser:
 
 
 def load_cli_config(args, domain: str) -> Dict[str, Any]:
+    enable_compilation_cache()
     cfg = load_config(args.config_name, domain=domain,
                       overrides=args.overrides)
     if args.data_dir is not None:
