@@ -75,6 +75,26 @@ class SplitDense(nn.Module):
         return a, b
 
 
+class _DenseParams(nn.Module):
+    """Declares exactly nn.Dense's parameters (same names, shapes, init
+    RNG path) without computing the matmul — the fused-layer path
+    (ops/pallas/layer_fused.py) consumes the raw kernel/bias inside its
+    kernels while staying checkpoint-compatible with the XLA path's
+    nn.Dense modules."""
+
+    features: int
+    use_bias: bool
+    kernel_init: Any
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", self.kernel_init,
+                       (in_features, self.features))
+        b = (self.param("bias", nn.initializers.zeros, (self.features,))
+             if self.use_bias else None)
+        return k, b
+
+
 class MambaMixer(nn.Module):
     """Bidirectional selective-scan token mixer.
 
@@ -356,6 +376,20 @@ class MambaMixer(nn.Module):
         dtype = self.dtype
         x = x.astype(dtype)
 
+        # Two-pass fused layer ("megakernel", ops/pallas/layer_fused.py):
+        # owns the whole in_proj→out_proj chain incl. both GEMMs — the
+        # one fusion shape docs/PERF.md §3 says has headroom left.
+        # Opt-in (FASTVIM_LAYER_FUSED=1, or "auto" for TPU-only).
+        import os as _os
+        _lf = _os.environ.get("FASTVIM_LAYER_FUSED", "0")
+        if (cache is None and row_onehot is None and _lf in ("1", "auto")
+                and (_lf == "1" or jax.default_backend() == "tpu")):
+            from fastvim_tpu.ops.pallas.layer_fused import fusable as _lf_ok
+            if _lf_ok(tuple(grid_shape), tuple(pool_axes), transposed,
+                      d_inner, self.d_conv, self.collapse_method):
+                return self._layer_fused_forward(x, tuple(grid_shape),
+                                                 transposed)
+
         # Defaults below are the round-3 MEASURED winners (benchmarks/
         # ablate_r3_tpu.py @2048 b3): split-inproj 82.2, merge-pooled
         # 74.4, both+pallas 77.5 vs 86.3 img/s for the round-2 structure
@@ -524,6 +558,47 @@ class MambaMixer(nn.Module):
             out = out * gamma.astype(dtype)
         if cache is not None:
             return out, new_cache
+        return out
+
+    def _layer_fused_forward(self, x: Array, grid, transposed: bool):
+        """Fused-layer path: declares the same param tree as the XLA
+        path (nn.Dense in/out_proj via _DenseParams — identical names,
+        shapes and init RNG) and hands everything to the two-pass
+        Pallas megakernel. Parity locked by tests/test_layer_fused.py."""
+        from fastvim_tpu.ops.pallas.layer_fused import fused_mixer_core
+
+        d_inner = self.d_inner
+        win, bin_ = _DenseParams(2 * d_inner, self.bias,
+                                 torch_linear_init(self.d_model),
+                                 name="in_proj")(self.d_model)
+        fwd = self._dir_params("")
+        bwd = self._dir_params("_b")
+        if self.use_norm_after_ssm:
+            ln_w = self.param("layernorm_weight", nn.initializers.ones,
+                              (d_inner,))
+            ln_b = self.param("layernorm_bias", nn.initializers.zeros,
+                              (d_inner,))
+        else:
+            ln_w = ln_b = None
+        wout, bout = _DenseParams(
+            self.d_model, self.bias,
+            torch_linear_init(d_inner,
+                              scale=1.0 / math.sqrt(self.n_layer)),
+            name="out_proj")(d_inner)
+        p = (win, bin_, fwd[0], fwd[1], bwd[0], bwd[1],
+             fwd[2], fwd[3], fwd[4], fwd[5], fwd[6],
+             bwd[2], bwd[3], bwd[4], bwd[5], bwd[6],
+             ln_w, ln_b, wout, bout)
+        out = fused_mixer_core(
+            x, p, grid, bool(transposed), float(self.scaling_factor),
+            float(self.norm_eps), bool(self.use_norm_after_ssm),
+            self.dtype, self.scan_impl, jax.default_backend() != "tpu")
+        if self.init_layer_scale is not None:
+            gamma = self.param(
+                "gamma",
+                nn.initializers.constant(self.init_layer_scale),
+                (self.d_model,))
+            out = out * gamma.astype(self.dtype)
         return out
 
     def _decode_step(self, xin: Array, z: Array, params, cache,

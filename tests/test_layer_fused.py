@@ -1,0 +1,132 @@
+"""Parity tests for the two-pass fused layer kernel (layer_fused.py).
+
+Locks the Pallas megakernel (interpret mode on CPU) against the
+pure-JAX reference `_reference_core`, which is itself the mixer's XLA
+path (checked at mixer level below) — so kernel == XLA path
+transitively. Covers both orientations (even flat-raster conv / odd
+transposed-raster conv with cross-column wrap) and the rematerializing
+custom VJP.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastvim_tpu.ops.pallas.layer_fused import (
+    _reference_core,
+    fusable,
+    fused_mixer_core,
+)
+
+DM, DI, R, N = 64, 128, 4, 16
+
+
+def _params(key, dm=DM, di=DI, r=R, n=N, bias=False):
+    ks = jax.random.split(key, 16)
+    u = lambda k, shape, s=0.2: jax.random.uniform(k, shape, jnp.float32,
+                                                   -s, s)
+    p = dict(
+        win=u(ks[0], (dm, 2 * di)),
+        bin_=u(ks[15], (2 * di,)) if bias else None,
+        wcf=u(ks[1], (4, di)), bcf=u(ks[2], (di,)),
+        wab=u(ks[3], (4, di)), bab=u(ks[4], (di,)),
+        xpf=u(ks[5], (di, r + 2 * n)), dtwf=u(ks[6], (r, di)),
+        dtbf=u(ks[7], (di,), 0.5), Af=u(ks[8], (di, n), 1.0),
+        Df=u(ks[9], (di,)),
+        xpb=u(ks[10], (di, r + 2 * n)), dtwb=u(ks[11], (r, di)),
+        dtbb=u(ks[12], (di,), 0.5), Ab=u(ks[13], (di, n), 1.0),
+        Db=u(ks[14], (di,)),
+        lnw=jnp.ones((di,)) + u(ks[0], (di,), 0.1),
+        lnb=u(ks[1], (di,), 0.1),
+        wout=u(ks[2], (di, dm)), bout=u(ks[3], (dm,)) if bias else None,
+    )
+    return tuple(p.values())
+
+
+@pytest.mark.parametrize("transposed", [False, True])
+@pytest.mark.parametrize("grid", [(16, 16), (8, 24)])
+def test_fused_matches_reference(transposed, grid):
+    H, W = grid
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, H * W, DM), jnp.float32)
+    p = _params(jax.random.PRNGKey(1))
+    pool_axes = (0,) if transposed else (1,)
+    assert fusable(grid, pool_axes, transposed, DI, 4, "mean")
+    args = (grid, transposed, 1.0, 1e-5, True, jnp.float32, "ref")
+    ref = _reference_core(x, p, *args)
+    got = fused_mixer_core(x, p, *args, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_bias_scaling_noln():
+    grid = (8, 16)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 128, DM),
+                          jnp.float32)
+    p = _params(jax.random.PRNGKey(3), bias=True)
+    args = (grid, False, 0.25, 1e-5, False, jnp.float32, "ref")
+    ref = _reference_core(x, p, *args)
+    got = fused_mixer_core(x, p, *args, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_grad_is_reference_grad():
+    grid = (8, 8)
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 64, DM), jnp.float32)
+    p = _params(jax.random.PRNGKey(5))
+    args = (grid, False, 1.0, 1e-5, True, jnp.float32, "ref")
+
+    gf = jax.grad(lambda xx, pp: jnp.sum(
+        fused_mixer_core(xx, pp, *args, True) ** 2), argnums=(0, 1))
+    gr = jax.grad(lambda xx, pp: jnp.sum(
+        _reference_core(xx, pp, *args) ** 2), argnums=(0, 1))
+    gx_f, gp_f = gf(x, p)
+    gx_r, gp_r = gr(x, p)
+    # output(fused) == output(reference) within fp tolerance and the
+    # cotangents flow through the same reference VJP → near-identical
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(gp_f), jax.tree.leaves(gp_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_mixer_layer_fused_env_flag():
+    """Mixer-level: FASTVIM_LAYER_FUSED=1 output matches the default
+    XLA path (both orientations through Block)."""
+    from fastvim_tpu.models.blocks import Block
+
+    H = W = 16
+    dm = DM
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, H * W, dm),
+                          jnp.float32)
+    mixer_kwargs = dict(d_state=N, expand=2, collapse_method="mean")
+
+    def run(layer_idx):
+        blk = Block(dim=dm, layer_idx=layer_idx, token_size=(H, W),
+                    mixer_kwargs=mixer_kwargs, rms_norm=False)
+        params = blk.init(jax.random.PRNGKey(7), x, None)
+        out, res = blk.apply(params, x, None)
+        return np.asarray(out), np.asarray(res), params
+
+    for layer_idx in (0, 1):  # even (flat conv) and odd (transposed)
+        base_out, base_res, params = run(layer_idx)
+        os.environ["FASTVIM_LAYER_FUSED"] = "1"
+        try:
+            fused_out, fused_res, params2 = run(layer_idx)
+            # identical param trees (checkpoint compatibility)
+            assert jax.tree.structure(params) == jax.tree.structure(
+                params2)
+            for a, b in zip(jax.tree.leaves(params),
+                            jax.tree.leaves(params2)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        finally:
+            del os.environ["FASTVIM_LAYER_FUSED"]
+        np.testing.assert_allclose(fused_out, base_out, rtol=2e-4,
+                                   atol=2e-4)
+        np.testing.assert_allclose(fused_res, base_res, rtol=2e-4,
+                                   atol=2e-4)
