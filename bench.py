@@ -18,6 +18,7 @@ Prints ONE JSON line:
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -48,9 +49,13 @@ def time_fn(fn, reps=3):
 
 
 def throughput(model_name, img_size, batch, n1=4, n2=12,
-               dtype=jnp.bfloat16, **kw):
+               dtype=jnp.bfloat16, layer_fused=None, **kw):
     from fastvim_tpu.models import create_model
 
+    if layer_fused is not None:
+        # fused two-pass layer kernel (ops/pallas/layer_fused.py) —
+        # parity-locked vs the XLA path; inference-only win
+        os.environ["FASTVIM_LAYER_FUSED"] = "1" if layer_fused else "0"
     model = create_model(model_name, img_size=img_size, dtype=dtype,
                          drop_path_rate=0.0, **kw)
     x = jax.random.normal(jax.random.PRNGKey(1),
@@ -73,13 +78,14 @@ def sweep(tol: float = 0.05):
     Prints one JSON line per resolution plus a final ok/regressed line;
     exits nonzero if a pin has fallen more than ``tol`` behind.
     """
-    pins = {224: (40, [32, 40, 48, 64]), 2048: (3, [2, 3, 4, 8])}
+    pins = {224: (40, [32, 40, 48, 64]), 2048: (2, [1, 2, 3, 4])}
     ok = True
     for img, (pin, batches) in pins.items():
         rates = {}
         for b in batches:
             try:
-                rates[b] = round(throughput("fastvim_tiny", img, b), 2)
+                rates[b] = round(throughput("fastvim_tiny", img, b,
+                                            layer_fused=(img == 2048)), 2)
             except Exception as e:
                 rates[b] = None
                 print(json.dumps({"img": img, "batch": b,
@@ -97,17 +103,21 @@ def sweep(tol: float = 0.05):
 
 def main():
     results = {}
-    # Batch choices from round-2 sweeps on v5e (non-monotonic XLA
+    # Batch choices from the round-2/3 sweeps on v5e (non-monotonic XLA
     # schedule cliffs; CLAUDE.md):
-    #   @2048 {2,3,4,5,6,8,12,16} → {69.6, 86.8, 79.9, 64.5, 63.1,
-    #     71.7, 47.0, 42.7} img/s — best b3
+    #   @2048 fused layer kernel {1,2,3,4,6,8} → {133, 201, 166, 113,
+    #     99, 108} img/s — best b2 (XLA path: b3 86.8)
     #   @224 {32,40,48,56,64,96,128} → {7040, 7378, 6808, 6289, 5652,
-    #     5122, 2591} img/s — best b40
-    b224, b2048 = 40, 3
+    #     5122, 2591} img/s — best b40 (14×14 grid is not fusable)
+    b224, b2048, b2048_xla = 40, 2, 3
     results["fastvim_t_224_img_s"] = throughput("fastvim_tiny", 224, b224)
-    results["fastvim_t_2048_img_s"] = throughput("fastvim_tiny", 2048, b2048)
+    results["fastvim_t_2048_img_s"] = throughput(
+        "fastvim_tiny", 2048, b2048, layer_fused=True)
+    results["fastvim_t_2048_xla_img_s"] = throughput(
+        "fastvim_tiny", 2048, b2048_xla, layer_fused=False)
     try:
-        results["vim_t_2048_img_s"] = throughput("vim_tiny", 2048, b2048)
+        results["vim_t_2048_img_s"] = throughput("vim_tiny", 2048,
+                                                 b2048_xla)
     except Exception as e:  # Vim baseline OOM/compile failure shouldn't kill
         results["vim_t_2048_img_s"] = None
         results["vim_error"] = str(e)[:200]

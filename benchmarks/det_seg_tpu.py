@@ -92,11 +92,21 @@ def bench_detection(img, batch, max_gt=16):
 
     def body(i, st):
         r = jax.random.fold_in(rng, i)
+        # regenerate inputs on-device per step: closure-constant images /
+        # gt let XLA constant-fold whole assigner subgraphs (measured
+        # 7-10 s folds of (B, n_anchors) argmax reductions on CPU),
+        # inflating compile time and deflating step time vs the real CLI
+        xi = jax.random.normal(r, x.shape, x.dtype)
+        gi = dict(g)
+        gi["gt_boxes"] = g["gt_boxes"] + jax.random.uniform(
+            r, (batch, max_gt, 4), minval=0., maxval=4.)
+        gi["gt_masks"] = (jax.random.uniform(
+            r, g["gt_masks"].shape) > 0.5).astype(jnp.uint8)
 
         def loss_fn(p):
             losses = model.apply(
-                p, x, deterministic=False,
-                rngs={"sampler": r, "dropout": r}, **g)
+                p, xi, deterministic=False,
+                rngs={"sampler": r, "dropout": r}, **gi)
             return losses["loss"]
 
         loss, grads = jax.value_and_grad(loss_fn)(st.params)
@@ -131,9 +141,13 @@ def bench_segmentation(img, batch):
     state = TrainState.create(params, tx)
 
     def body(i, st):
+        r = jax.random.fold_in(rng, i)
+        xi = jax.random.normal(r, x.shape, x.dtype)
+        yi = jax.random.randint(r, y.shape, 0, cfg["num_classes"])
+
         def loss_fn(p):
-            logits, aux = seg.apply(p, x, with_aux=True)
-            return segmentation_loss(logits, y, aux_logits=aux)
+            logits, aux = seg.apply(p, xi, with_aux=True)
+            return segmentation_loss(logits, yi, aux_logits=aux)
 
         loss, grads = jax.value_and_grad(loss_fn)(st.params)
         return st.apply_gradients(grads)

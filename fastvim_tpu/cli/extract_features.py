@@ -48,6 +48,9 @@ def main(argv=None):
     p.add_argument("--with_fpn", action="store_true",
                    help="apply the SimpleFPN neck (detection)")
     p.add_argument("overrides", nargs="*")
+    import os
+    # inference-only entry point: fused layer kernel on TPU
+    os.environ.setdefault("FASTVIM_LAYER_FUSED", "auto")
     args = p.parse_args(argv)
     cfg = load_config(args.config_name, overrides=args.overrides)
 

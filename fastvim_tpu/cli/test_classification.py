@@ -15,6 +15,10 @@ from fastvim_tpu.cli.common import base_parser, load_cli_config, setup_mesh
 
 
 def main(argv=None):
+    import os
+    # inference-only entry point: default the fused layer kernel on
+    # (TPU-only via "auto"; parity-locked, 2.3x @2048 — layer_fused.py)
+    os.environ.setdefault("FASTVIM_LAYER_FUSED", "auto")
     p = base_parser(__doc__)
     p.add_argument("--checkpoint", required=False, default=None)
     p.add_argument("--ema", action="store_true",

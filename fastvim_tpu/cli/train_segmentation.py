@@ -80,6 +80,9 @@ def main(argv=None):
                    help="iterations between mIoU evals (schedule_160k.py"
                    " CheckpointHook interval)")
     args = p.parse_args(argv)
+    if args.eval_only:
+        # inference path: fused layer kernel on TPU (layer_fused.py)
+        os.environ.setdefault("FASTVIM_LAYER_FUSED", "auto")
     cfg = load_cli_config(args, "segmentation")
 
     from fastvim_tpu.data.segmentation import create_segmentation_loader

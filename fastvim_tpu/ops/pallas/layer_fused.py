@@ -10,14 +10,19 @@ ENTIRE layer including both GEMMs, so there is nothing left to forfeit:
   pass A:  x̂ ──GEMM(in_proj·x-half)──conv(f,b)──silu──┬─► xc_f, xc_b
                                                        └─pool─► pf, pb
   (XLA)    pf/pb ──x_proj/dt GEMMs──selective scans──► yf, yb   (tiny)
-  pass B:  x̂ ──GEMM(in_proj·z-half)──silu─┐
-           xc_f/xc_b, yf/yb ──bcast+D·xc──merge──LN──·──GEMM(out_proj)─► out
+  pass B:  x̂ ──GEMM(z-half)──silu─┐
+           xc_f/xc_b, yf/yb ──bcast+D·xc──merge──LN──·──GEMM(out)─► out
 
-Per-layer HBM traffic drops from ~1 GB (Model A) to ~210 MB: pass A
-reads x̂ once and writes xc_f/xc_b; pass B reads xc_f/xc_b/x̂ and writes
-the (B, L, d_model) output. The pool→scan→broadcast dependency forces
-the two passes (the backward scan needs the last row pooled before the
-first token's output exists).
+The pool→scan→broadcast dependency forces the two passes (the backward
+scan needs the last row pooled before the first token's output exists).
+Measured (1×v5e, FastVim-T @2048, XLA path 86.6 img/s): default
+materialized-xc mode b2 **201 / b3 168.5 img/s** (sweep: b2 201, b3
+166, b4 113, b6 99, b8 108). The byte-minimal variant
+(FASTVIM_LF_RECOMPUTE=1: pass A writes only the ~0.3 MB pooled arrays,
+pass B re-runs the x-half GEMM + conv — ~4× fewer HBM bytes/layer)
+measured SLOWER: b1 133 / b2 136 / b3 123 — the kernels are VPU-bound
+on the fp32 conv rolls, not HBM-bound, so recompute costs more than
+the xc round-trip. Kept opt-in as the measured negative.
 
 Orientations (models/blocks.py):
 * even layers: conv along the flat raster (ops/conv.dual_conv1d),
@@ -101,7 +106,7 @@ def _pick_tile(extent: int, other: int, target_tokens: int = 1024) -> int:
 
 
 # ----------------------------------------------------------------------
-# pass A: in_proj(x-half) + dual conv + silu + col/row pool
+# shared conv stage: in_proj(x-half) GEMM + dual conv + silu, in-kernel
 # ----------------------------------------------------------------------
 
 def _conv_corrections(wc, wa, dtail, dhead):
@@ -129,12 +134,12 @@ def _conv_corrections(wc, wa, dtail, dhead):
     return jnp.concatenate(cc, 0), jnp.concatenate(ca, 0)
 
 
-def _pass_a_even_kernel(xh_ref, prev_ref, next_ref, winx_ref, binx_ref,
-                        wcf_ref, bcf_ref, wab_ref, bab_ref,
-                        xcf_ref, xcb_ref, pf_ref, pb_ref,
-                        *, RT, W, dm, di, scaling, nt, interpret):
+def _conv_stage_even(xh_ref, prev_ref, next_ref, winx_ref, binx_ref,
+                     wcf_ref, bcf_ref, wab_ref, bab_ref, dt,
+                     *, RT, W, dm, di, nt, interpret):
+    """x-half GEMM + flat-raster dual conv + silu over one RT-row tile.
+    Returns (xcf, xcb), each (RT*W, di) fp32."""
     i = pl.program_id(1)
-    dt = xcf_ref.dtype
     f32 = jnp.float32
     T = RT * W
     winx = winx_ref[...].astype(dt)
@@ -171,21 +176,18 @@ def _pass_a_even_kernel(xh_ref, prev_ref, next_ref, winx_ref, binx_ref,
     zfill = jnp.zeros((T - PAD, di), f32)
     yc = yc + jnp.concatenate([corr_c, zfill], 0)
     ya = ya + jnp.concatenate([zfill, corr_a], 0)
-    xcf = _silu(yc + bcf_ref[...].astype(f32)).reshape(RT, W, di)
-    xcb = _silu(ya + bab_ref[...].astype(f32)).reshape(RT, W, di)
-    xcf_ref[0] = xcf.astype(dt)
-    xcb_ref[0] = xcb.astype(dt)
-    s = f32(scaling / W)
-    pf_ref[0] = (jnp.sum(xcf, 1) * s).astype(dt)
-    pb_ref[0] = (jnp.sum(xcb, 1) * s).astype(dt)
+    xcf = _silu(yc + bcf_ref[...].astype(f32))           # (T, di) f32
+    xcb = _silu(ya + bab_ref[...].astype(f32))
+    return xcf, xcb
 
 
-def _pass_a_odd_kernel(xh_ref, prev_ref, next_ref, winx_ref, binx_ref,
-                       wcf_ref, bcf_ref, wab_ref, bab_ref,
-                       xcf_ref, xcb_ref, pf_ref, pb_ref,
-                       *, H, CT, dm, di, scaling, nt, interpret):
+def _conv_stage_odd(xh_ref, prev_ref, next_ref, winx_ref, binx_ref,
+                    wcf_ref, bcf_ref, wab_ref, bab_ref, dt,
+                    *, H, CT, dm, di, nt, interpret):
+    """x-half GEMM + transposed-raster dual conv (conv along the leading
+    H axis with cross-column wrap) + silu over one CT-column tile.
+    Returns (xcf, xcb), each (H, CT, di) fp32."""
     j = pl.program_id(1)
-    dt = xcf_ref.dtype
     f32 = jnp.float32
     winx = winx_ref[...].astype(dt)
     binx = binx_ref[...].astype(f32)
@@ -230,46 +232,76 @@ def _pass_a_odd_kernel(xh_ref, prev_ref, next_ref, winx_ref, binx_ref,
         [head_self[:, 1:], next_col[:PAD].reshape(PAD, 1, di)], 1)
     corr_c, corr_a = _conv_corrections(
         wc, wa, tail_true - tail_self, head_true - head_self)
-    zfill = jnp.zeros((H - PAD, CT, di), dt)
+    zfill = jnp.zeros((H - PAD, CT, di), jnp.float32)
     yc = yc + jnp.concatenate([corr_c, zfill], 0)
     ya = ya + jnp.concatenate([zfill, corr_a], 0)
-    xcf = _silu(yc + bcf_ref[...].astype(f32))
+    xcf = _silu(yc + bcf_ref[...].astype(f32))           # (H, CT, di)
     xcb = _silu(ya + bab_ref[...].astype(f32))
-    xcf_ref[0] = xcf.astype(dt)
-    xcb_ref[0] = xcb.astype(dt)
-    s = f32(scaling / H)
+    return xcf, xcb
+
+
+# ----------------------------------------------------------------------
+# pass A: conv stage → materialized conv outputs + pools (default), or
+# pools only (FASTVIM_LF_RECOMPUTE=1 — measured slower, kept opt-in)
+# ----------------------------------------------------------------------
+
+def _pass_a_even_kernel(xh_ref, prev_ref, next_ref, winx_ref, binx_ref,
+                        wcf_ref, bcf_ref, wab_ref, bab_ref,
+                        *out_refs,
+                        RT, W, dm, di, scaling, nt, interpret):
+    xcf, xcb = _conv_stage_even(
+        xh_ref, prev_ref, next_ref, winx_ref, binx_ref, wcf_ref, bcf_ref,
+        wab_ref, bab_ref, out_refs[-1].dtype, RT=RT, W=W, dm=dm, di=di,
+        nt=nt, interpret=interpret)
+    xcf = xcf.reshape(RT, W, di)
+    xcb = xcb.reshape(RT, W, di)
+    pf_ref, pb_ref = out_refs[-2:]
+    dt = pf_ref.dtype
+    if len(out_refs) == 4:
+        out_refs[0][0] = xcf.astype(dt)
+        out_refs[1][0] = xcb.astype(dt)
+    s = jnp.float32(scaling / W)
+    pf_ref[0] = (jnp.sum(xcf, 1) * s).astype(dt)
+    pb_ref[0] = (jnp.sum(xcb, 1) * s).astype(dt)
+
+
+def _pass_a_odd_kernel(xh_ref, prev_ref, next_ref, winx_ref, binx_ref,
+                       wcf_ref, bcf_ref, wab_ref, bab_ref,
+                       *out_refs,
+                       H, CT, dm, di, scaling, nt, interpret):
+    xcf, xcb = _conv_stage_odd(
+        xh_ref, prev_ref, next_ref, winx_ref, binx_ref, wcf_ref, bcf_ref,
+        wab_ref, bab_ref, out_refs[-1].dtype, H=H, CT=CT, dm=dm, di=di,
+        nt=nt, interpret=interpret)
+    pf_ref, pb_ref = out_refs[-2:]
+    dt = pf_ref.dtype
+    if len(out_refs) == 4:
+        out_refs[0][0] = xcf.astype(dt)
+        out_refs[1][0] = xcb.astype(dt)
+    s = jnp.float32(scaling / H)
     pf_ref[0] = (jnp.sum(xcf, 0) * s).astype(dt)
     pb_ref[0] = (jnp.sum(xcb, 0) * s).astype(dt)
 
 
 # ----------------------------------------------------------------------
-# pass B: in_proj(z-half) + broadcast + D-skip + merge + LN + gate +
-# out_proj
+# pass B: conv stage recompute + in_proj(z-half) + broadcast + D-skip +
+# merge + LN + gate + out_proj
 # ----------------------------------------------------------------------
 
-def _pass_b_kernel(xh_ref, xcf_ref, xcb_ref, yf_ref, yb_ref,
-                   winz_ref, binz_ref, df_ref, db_ref, lnw_ref, lnb_ref,
-                   wout_ref, bout_ref, out_ref,
-                   *, S0, S1, dm, di, eps, use_ln, bcast_axis):
-    """S0×S1 token tile; pooled y broadcasts along ``bcast_axis``
-    (1 = even layers: yf is (S0, di), one value per row; 0 = odd layers:
-    yf is (S1, di), one value per column)."""
+def _merge_tail(xh_ref, yf, yb, xcf, xcb, winz_ref, binz_ref, df_ref,
+                db_ref, lnw_ref, lnb_ref, wout_ref, bout_ref, out_ref,
+                *, S0, S1, dm, di, eps, use_ln):
+    """Broadcast+D-skip+merge+LN+gate+out_proj over one (S0, S1) token
+    tile. yf/yb already broadcast-shaped (S0, S1 or 1-broadcastable,
+    di); xcf/xcb are (S0, S1, di) fp32."""
     dt = out_ref.dtype
     T = S0 * S1
     z = jnp.dot(xh_ref[0].reshape(T, dm).astype(dt),
                 winz_ref[...].astype(dt),
                 preferred_element_type=jnp.float32)
     z = z + binz_ref[...].astype(jnp.float32)            # (T, di) f32
-    xcf = xcf_ref[0].astype(jnp.float32)                 # (S0, S1, di)
-    xcb = xcb_ref[0].astype(jnp.float32)
     df = df_ref[...].astype(jnp.float32)
     db = db_ref[...].astype(jnp.float32)
-    if bcast_axis == 1:
-        yf = yf_ref[0].astype(jnp.float32)[:, None]      # (S0, 1, di)
-        yb = yb_ref[0].astype(jnp.float32)[:, None]
-    else:
-        yf = yf_ref[0].astype(jnp.float32)[None]         # (1, S1, di)
-        yb = yb_ref[0].astype(jnp.float32)[None]
     m = (yf + df[None] * xcf + yb + db[None] * xcb) * jnp.float32(0.5)
     if use_ln:
         mu = jnp.mean(m, axis=-1, keepdims=True)
@@ -282,6 +314,64 @@ def _pass_b_kernel(xh_ref, xcf_ref, xcb_ref, yf_ref, yb_ref,
                   preferred_element_type=jnp.float32)
     out = out + bout_ref[...].astype(jnp.float32)
     out_ref[0] = out.astype(dt).reshape(S0, S1, dm)
+
+
+def _pass_b_even_kernel(xh_ref, prev_ref, next_ref, yf_ref, yb_ref,
+                        winx_ref, binx_ref, wcf_ref, bcf_ref, wab_ref,
+                        bab_ref, winz_ref, binz_ref, df_ref, db_ref,
+                        lnw_ref, lnb_ref, wout_ref, bout_ref, out_ref,
+                        *, RT, W, dm, di, eps, use_ln, nt, interpret):
+    dt = out_ref.dtype
+    xcf, xcb = _conv_stage_even(
+        xh_ref, prev_ref, next_ref, winx_ref, binx_ref, wcf_ref, bcf_ref,
+        wab_ref, bab_ref, dt, RT=RT, W=W, dm=dm, di=di, nt=nt,
+        interpret=interpret)
+    yf = yf_ref[0].astype(jnp.float32).reshape(RT, 1, di)
+    yb = yb_ref[0].astype(jnp.float32).reshape(RT, 1, di)
+    _merge_tail(xh_ref, yf, yb, xcf.reshape(RT, W, di),
+                xcb.reshape(RT, W, di), winz_ref, binz_ref, df_ref,
+                db_ref, lnw_ref, lnb_ref, wout_ref, bout_ref, out_ref,
+                S0=RT, S1=W, dm=dm, di=di, eps=eps, use_ln=use_ln)
+
+
+def _pass_b_odd_kernel(xh_ref, prev_ref, next_ref, yf_ref, yb_ref,
+                       winx_ref, binx_ref, wcf_ref, bcf_ref, wab_ref,
+                       bab_ref, winz_ref, binz_ref, df_ref, db_ref,
+                       lnw_ref, lnb_ref, wout_ref, bout_ref, out_ref,
+                       *, H, CT, dm, di, eps, use_ln, nt, interpret):
+    dt = out_ref.dtype
+    xcf, xcb = _conv_stage_odd(
+        xh_ref, prev_ref, next_ref, winx_ref, binx_ref, wcf_ref, bcf_ref,
+        wab_ref, bab_ref, dt, H=H, CT=CT, dm=dm, di=di, nt=nt,
+        interpret=interpret)
+    yf = yf_ref[0].astype(jnp.float32).reshape(1, CT, di)
+    yb = yb_ref[0].astype(jnp.float32).reshape(1, CT, di)
+    _merge_tail(xh_ref, yf, yb, xcf, xcb, winz_ref, binz_ref, df_ref,
+                db_ref, lnw_ref, lnb_ref, wout_ref, bout_ref, out_ref,
+                S0=H, S1=CT, dm=dm, di=di, eps=eps, use_ln=use_ln)
+
+
+def _pass_b_mat_kernel(xh_ref, xcf_ref, xcb_ref, yf_ref, yb_ref,
+                       winz_ref, binz_ref, df_ref, db_ref, lnw_ref,
+                       lnb_ref, wout_ref, bout_ref, out_ref,
+                       *, S0, S1, dm, di, eps, use_ln, bcast_axis):
+    """Default pass B: conv outputs materialized by pass A stream back
+    in as pipelined blocks; only the merge tail runs here. Measured
+    FASTER than the recompute variant (201 vs 136 img/s @2048 b2) —
+    the fp32 conv rolls on the VPU cost more than the xc HBM round
+    trip; the kernels are VPU-bound, not HBM-bound."""
+    f32 = jnp.float32
+    xcf = xcf_ref[0].astype(f32)                         # (S0, S1, di)
+    xcb = xcb_ref[0].astype(f32)
+    if bcast_axis == 1:
+        yf = yf_ref[0].astype(f32).reshape(S0, 1, di)
+        yb = yb_ref[0].astype(f32).reshape(S0, 1, di)
+    else:
+        yf = yf_ref[0].astype(f32).reshape(1, S1, di)
+        yb = yb_ref[0].astype(f32).reshape(1, S1, di)
+    _merge_tail(xh_ref, yf, yb, xcf, xcb, winz_ref, binz_ref, df_ref,
+                db_ref, lnw_ref, lnb_ref, wout_ref, bout_ref, out_ref,
+                S0=S0, S1=S1, dm=dm, di=di, eps=eps, use_ln=use_ln)
 
 
 # ----------------------------------------------------------------------
@@ -376,6 +466,11 @@ def _fused_fwd_impl(x_hat, p, grid, transposed, scaling, eps, use_ln,
     vec_dm = pl.BlockSpec((1, dm), lambda b, i: (0, 0))
     mat = lambda r, c: pl.BlockSpec((r, c), lambda b, i: (0, 0))
     conv_w = pl.BlockSpec((PAD + 1, di), lambda b, i: (0, 0))
+    # opt-in recompute mode: pass A writes only the pooled arrays and
+    # pass B re-runs the x-half GEMM + conv (≈4× fewer HBM bytes) —
+    # measured SLOWER (136 vs 201 img/s @2048 b2): the kernels are
+    # VPU-bound on the fp32 conv rolls, not HBM-bound
+    recompute = os.environ.get("FASTVIM_LF_RECOMPUTE", "0") == "1"
 
     if not transposed:
         RT = int(os.environ.get("FASTVIM_LF_TILE", "0")) or \
@@ -392,11 +487,19 @@ def _fused_fwd_impl(x_hat, p, grid, transposed, scaling, eps, use_ln,
         xc_spec = pl.BlockSpec((1, RT, W, di), lambda b, i: (b, i, 0, 0))
         pool_spec = pl.BlockSpec((1, RT, di), lambda b, i: (b, i, 0))
         P = H
-        kern = functools.partial(_pass_a_even_kernel, RT=RT, W=W, dm=dm,
-                                 di=di, scaling=scaling, nt=nt,
-                                 interpret=interpret)
+        kern_a = functools.partial(_pass_a_even_kernel, RT=RT, W=W,
+                                   dm=dm, di=di, scaling=scaling, nt=nt,
+                                   interpret=interpret)
+        if recompute:
+            kern_b = functools.partial(_pass_b_even_kernel, RT=RT, W=W,
+                                       dm=dm, di=di, eps=eps,
+                                       use_ln=use_ln, nt=nt,
+                                       interpret=interpret)
+        else:
+            kern_b = functools.partial(_pass_b_mat_kernel, S0=RT, S1=W,
+                                       dm=dm, di=di, eps=eps,
+                                       use_ln=use_ln, bcast_axis=1)
         grid_a = (B, nt)
-        S0, S1, bcast_axis = RT, W, 1
     else:
         CT = int(os.environ.get("FASTVIM_LF_TILE", "0")) or \
             _pick_tile(W, H)
@@ -412,44 +515,66 @@ def _fused_fwd_impl(x_hat, p, grid, transposed, scaling, eps, use_ln,
         xc_spec = pl.BlockSpec((1, H, CT, di), lambda b, j: (b, 0, j, 0))
         pool_spec = pl.BlockSpec((1, CT, di), lambda b, j: (b, j, 0))
         P = W
-        kern = functools.partial(_pass_a_odd_kernel, H=H, CT=CT, dm=dm,
-                                 di=di, scaling=scaling, nt=nt,
-                                 interpret=interpret)
+        kern_a = functools.partial(_pass_a_odd_kernel, H=H, CT=CT, dm=dm,
+                                   di=di, scaling=scaling, nt=nt,
+                                   interpret=interpret)
+        if recompute:
+            kern_b = functools.partial(_pass_b_odd_kernel, H=H, CT=CT,
+                                       dm=dm, di=di, eps=eps,
+                                       use_ln=use_ln, nt=nt,
+                                       interpret=interpret)
+        else:
+            kern_b = functools.partial(_pass_b_mat_kernel, S0=H, S1=CT,
+                                       dm=dm, di=di, eps=eps,
+                                       use_ln=use_ln, bcast_axis=0)
         grid_a = (B, nt)
-        S0, S1, bcast_axis = H, CT, 0
 
-    xc_f, xc_b, pf, pb = pl.pallas_call(
-        kern,
+    pool_shape = jax.ShapeDtypeStruct((B, P, di), dtype)
+    xc_shape = jax.ShapeDtypeStruct((B, H, W, di), dtype)
+    a_out_specs = [pool_spec, pool_spec] if recompute else \
+        [xc_spec, xc_spec, pool_spec, pool_spec]
+    a_out_shape = [pool_shape, pool_shape] if recompute else \
+        [xc_shape, xc_shape, pool_shape, pool_shape]
+    a_out = pl.pallas_call(
+        kern_a,
         grid=grid_a,
         in_specs=[xh_spec, prev_spec, next_spec, mat(dm, di), vec_di,
                   conv_w, vec_di, conv_w, vec_di],
-        out_specs=[xc_spec, xc_spec, pool_spec, pool_spec],
-        out_shape=[jax.ShapeDtypeStruct((B, H, W, di), dtype),
-                   jax.ShapeDtypeStruct((B, H, W, di), dtype),
-                   jax.ShapeDtypeStruct((B, P, di), dtype),
-                   jax.ShapeDtypeStruct((B, P, di), dtype)],
+        out_specs=a_out_specs,
+        out_shape=a_out_shape,
         interpret=interpret,
     )(x4, x4, x4, winx, binx, wcf, bcf_, wab, bab_)
+    pf, pb = a_out[-2:]
 
     yf = _proj_scan(pf, xpf, dtwf, dtbf, Af, dtype, scan_impl, False)
     yb = _proj_scan(pb, xpb, dtwb, dtbb, Ab, dtype, scan_impl, True)
     yf = yf.astype(dtype)
     yb = yb.astype(dtype)
 
-    kern_b = functools.partial(_pass_b_kernel, S0=S0, S1=S1, dm=dm,
-                               di=di, eps=eps, use_ln=use_ln,
-                               bcast_axis=bcast_axis)
+    if recompute:
+        b_in_specs = [xh_spec, prev_spec, next_spec, pool_spec,
+                      pool_spec, mat(dm, di), vec_di, conv_w, vec_di,
+                      conv_w, vec_di, mat(dm, di), vec_di, vec_di,
+                      vec_di, vec_di, vec_di, mat(di, dm), vec_dm]
+        b_args = (x4, x4, x4, yf, yb, winx, binx, wcf, bcf_, wab, bab_,
+                  winz, binz, Df[None], Db[None], lnw_, lnb_, wout,
+                  bout_)
+    else:
+        xc_f, xc_b = a_out[0], a_out[1]
+        b_in_specs = [xh_spec, xc_spec, xc_spec, pool_spec, pool_spec,
+                      mat(dm, di), vec_di, vec_di, vec_di, vec_di,
+                      vec_di, mat(di, dm), vec_dm]
+        b_args = (x4, xc_f, xc_b, yf, yb, winz, binz, Df[None],
+                  Db[None], lnw_, lnb_, wout, bout_)
+
     out = pl.pallas_call(
         kern_b,
         grid=grid_a,
-        in_specs=[xh_spec, xc_spec, xc_spec, pool_spec, pool_spec,
-                  mat(dm, di), vec_di, vec_di, vec_di, vec_di, vec_di,
-                  mat(di, dm), vec_dm],
+        in_specs=b_in_specs,
         out_specs=xh_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, W, dm), dtype),
         interpret=interpret,
-    )(x4, xc_f, xc_b, yf, yb, winz, binz, Df[None], Db[None], lnw_,
-      lnb_, wout, bout_)
+    )(*b_args)
     return out.reshape(B, L, dm)
 
 

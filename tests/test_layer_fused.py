@@ -62,6 +62,27 @@ def test_fused_matches_reference(transposed, grid):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("transposed", [False, True])
+def test_fused_recompute_mode(transposed):
+    """FASTVIM_LF_RECOMPUTE=1 (pass B re-runs GEMM+conv; pass A writes
+    pools only) matches the reference too. Measured slower on TPU —
+    kept opt-in."""
+    grid = (16, 16)
+    H, W = grid
+    x = jax.random.normal(jax.random.PRNGKey(8), (2, H * W, DM),
+                          jnp.float32)
+    p = _params(jax.random.PRNGKey(9))
+    args = (grid, transposed, 1.0, 1e-5, True, jnp.float32, "ref")
+    ref = _reference_core(x, p, *args)
+    os.environ["FASTVIM_LF_RECOMPUTE"] = "1"
+    try:
+        got = fused_mixer_core(x, p, *args, True)
+    finally:
+        del os.environ["FASTVIM_LF_RECOMPUTE"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_fused_bias_scaling_noln():
     grid = (8, 16)
     x = jax.random.normal(jax.random.PRNGKey(2), (1, 128, DM),
