@@ -380,10 +380,14 @@ class MambaMixer(nn.Module):
         # owns the whole in_proj→out_proj chain incl. both GEMMs — the
         # one fusion shape docs/PERF.md §3 says has headroom left.
         # Opt-in (FASTVIM_LAYER_FUSED=1, or "auto" for TPU-only).
+        # "auto" additionally requires a single device: pallas_call has
+        # no SPMD partitioning rule, so under a multi-chip mesh GSPMD
+        # would replicate/gather it ("1" still forces).
         import os as _os
         _lf = _os.environ.get("FASTVIM_LAYER_FUSED", "0")
         if (cache is None and row_onehot is None and _lf in ("1", "auto")
-                and (_lf == "1" or jax.default_backend() == "tpu")):
+                and (_lf == "1" or (jax.default_backend() == "tpu"
+                                    and jax.device_count() == 1))):
             from fastvim_tpu.ops.pallas.layer_fused import fusable as _lf_ok
             if _lf_ok(tuple(grid_shape), tuple(pool_axes), transposed,
                       d_inner, self.d_conv, self.collapse_method):
