@@ -96,13 +96,26 @@ def fusable(grid_shape, pool_axes, transposed: bool, d_inner: int,
             and H >= d_conv and W >= d_conv)
 
 
-def _pick_tile(extent: int, other: int, target_tokens: int = 1024) -> int:
-    want = max(1, target_tokens // other)
+def _pick_tile(extent: int, other: int, di: int = 384) -> int:
+    """Largest divisor of ``extent`` giving ~1024-token tiles, floored
+    at 8: the pooled output block (1, tile, di) must keep its sublane
+    dim divisible by 8 (Mosaic block rule). VMEM headroom for large
+    d_inner is granted via `_vmem_limit` instead of shrinking the tile
+    (FastVim-S's fp32 temporaries exceed the default 16 MB scoped
+    budget at 1024 tokens)."""
+    want = max(1, 1024 // other)
     best = 1
     for t in range(1, min(extent, want) + 1):
         if extent % t == 0:
             best = t
-    return best
+    return max(best, 8) if extent % 8 == 0 else best
+
+
+def _vmem_limit(tile_tokens: int, di: int) -> int:
+    """Scoped-VMEM ceiling for the kernels: ~8 fp32 tile-sized
+    temporaries (xin/yc/ya/z/m + rolls) plus slack, min 32 MB."""
+    need = tile_tokens * di * 4 * 10
+    return max(32 * 1024 * 1024, min(need, 120 * 1024 * 1024))
 
 
 # ----------------------------------------------------------------------
@@ -474,7 +487,7 @@ def _fused_fwd_impl(x_hat, p, grid, transposed, scaling, eps, use_ln,
 
     if not transposed:
         RT = int(os.environ.get("FASTVIM_LF_TILE", "0")) or \
-            _pick_tile(H, W)
+            _pick_tile(H, W, di)
         assert H % RT == 0
         nt = H // RT
         xh_spec = pl.BlockSpec((1, RT, W, dm), lambda b, i: (b, i, 0, 0))
@@ -502,7 +515,7 @@ def _fused_fwd_impl(x_hat, p, grid, transposed, scaling, eps, use_ln,
         grid_a = (B, nt)
     else:
         CT = int(os.environ.get("FASTVIM_LF_TILE", "0")) or \
-            _pick_tile(W, H)
+            _pick_tile(W, H, di)
         assert W % CT == 0
         nt = W // CT
         xh_spec = pl.BlockSpec((1, H, CT, dm), lambda b, j: (b, 0, j, 0))
@@ -529,6 +542,9 @@ def _fused_fwd_impl(x_hat, p, grid, transposed, scaling, eps, use_ln,
                                        use_ln=use_ln, bcast_axis=0)
         grid_a = (B, nt)
 
+    tile_tokens = (RT * W) if not transposed else (H * CT)
+    cparams = pltpu.CompilerParams(
+        vmem_limit_bytes=_vmem_limit(tile_tokens, di))
     pool_shape = jax.ShapeDtypeStruct((B, P, di), dtype)
     xc_shape = jax.ShapeDtypeStruct((B, H, W, di), dtype)
     a_out_specs = [pool_spec, pool_spec] if recompute else \
@@ -542,6 +558,7 @@ def _fused_fwd_impl(x_hat, p, grid, transposed, scaling, eps, use_ln,
                   conv_w, vec_di, conv_w, vec_di],
         out_specs=a_out_specs,
         out_shape=a_out_shape,
+        compiler_params=cparams,
         interpret=interpret,
     )(x4, x4, x4, winx, binx, wcf, bcf_, wab, bab_)
     pf, pb = a_out[-2:]
@@ -573,6 +590,7 @@ def _fused_fwd_impl(x_hat, p, grid, transposed, scaling, eps, use_ln,
         in_specs=b_in_specs,
         out_specs=xh_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, W, dm), dtype),
+        compiler_params=cparams,
         interpret=interpret,
     )(*b_args)
     return out.reshape(B, L, dm)
