@@ -187,11 +187,13 @@ def _conv_stage_even(xh_ref, prev_ref, next_ref, winx_ref, binx_ref,
     corr_c, corr_a = _conv_corrections(
         wc, wa, tail_true - tail_wrap, head_true - head_wrap)
     zfill = jnp.zeros((T - PAD, di), f32)
-    yc = yc + jnp.concatenate([corr_c, zfill], 0)
-    ya = ya + jnp.concatenate([zfill, corr_a], 0)
-    xcf = _silu(yc + bcf_ref[...].astype(f32))           # (T, di) f32
-    xcb = _silu(ya + bab_ref[...].astype(f32))
-    return xcf, xcb
+    yc = yc + jnp.concatenate([corr_c, zfill], 0) \
+        + bcf_ref[...].astype(f32)
+    ya = ya + jnp.concatenate([zfill, corr_a], 0) \
+        + bab_ref[...].astype(f32)
+    xcf = _silu(yc)                                      # (T, di) f32
+    xcb = _silu(ya)
+    return xcf, xcb, yc, ya, xin, prev_row, next_row
 
 
 def _conv_stage_odd(xh_ref, prev_ref, next_ref, winx_ref, binx_ref,
@@ -246,11 +248,13 @@ def _conv_stage_odd(xh_ref, prev_ref, next_ref, winx_ref, binx_ref,
     corr_c, corr_a = _conv_corrections(
         wc, wa, tail_true - tail_self, head_true - head_self)
     zfill = jnp.zeros((H - PAD, CT, di), jnp.float32)
-    yc = yc + jnp.concatenate([corr_c, zfill], 0)
-    ya = ya + jnp.concatenate([zfill, corr_a], 0)
-    xcf = _silu(yc + bcf_ref[...].astype(f32))           # (H, CT, di)
-    xcb = _silu(ya + bab_ref[...].astype(f32))
-    return xcf, xcb
+    yc = yc + jnp.concatenate([corr_c, zfill], 0) \
+        + bcf_ref[...].astype(f32)
+    ya = ya + jnp.concatenate([zfill, corr_a], 0) \
+        + bab_ref[...].astype(f32)
+    xcf = _silu(yc)                                      # (H, CT, di)
+    xcb = _silu(ya)
+    return xcf, xcb, yc, ya, xin, prev_col, next_col
 
 
 # ----------------------------------------------------------------------
@@ -262,7 +266,7 @@ def _pass_a_even_kernel(xh_ref, prev_ref, next_ref, winx_ref, binx_ref,
                         wcf_ref, bcf_ref, wab_ref, bab_ref,
                         *out_refs,
                         RT, W, dm, di, scaling, nt, interpret):
-    xcf, xcb = _conv_stage_even(
+    xcf, xcb, *_ = _conv_stage_even(
         xh_ref, prev_ref, next_ref, winx_ref, binx_ref, wcf_ref, bcf_ref,
         wab_ref, bab_ref, out_refs[-1].dtype, RT=RT, W=W, dm=dm, di=di,
         nt=nt, interpret=interpret)
@@ -282,7 +286,7 @@ def _pass_a_odd_kernel(xh_ref, prev_ref, next_ref, winx_ref, binx_ref,
                        wcf_ref, bcf_ref, wab_ref, bab_ref,
                        *out_refs,
                        H, CT, dm, di, scaling, nt, interpret):
-    xcf, xcb = _conv_stage_odd(
+    xcf, xcb, *_ = _conv_stage_odd(
         xh_ref, prev_ref, next_ref, winx_ref, binx_ref, wcf_ref, bcf_ref,
         wab_ref, bab_ref, out_refs[-1].dtype, H=H, CT=CT, dm=dm, di=di,
         nt=nt, interpret=interpret)
@@ -335,7 +339,7 @@ def _pass_b_even_kernel(xh_ref, prev_ref, next_ref, yf_ref, yb_ref,
                         lnw_ref, lnb_ref, wout_ref, bout_ref, out_ref,
                         *, RT, W, dm, di, eps, use_ln, nt, interpret):
     dt = out_ref.dtype
-    xcf, xcb = _conv_stage_even(
+    xcf, xcb, *_ = _conv_stage_even(
         xh_ref, prev_ref, next_ref, winx_ref, binx_ref, wcf_ref, bcf_ref,
         wab_ref, bab_ref, dt, RT=RT, W=W, dm=dm, di=di, nt=nt,
         interpret=interpret)
@@ -353,7 +357,7 @@ def _pass_b_odd_kernel(xh_ref, prev_ref, next_ref, yf_ref, yb_ref,
                        lnw_ref, lnb_ref, wout_ref, bout_ref, out_ref,
                        *, H, CT, dm, di, eps, use_ln, nt, interpret):
     dt = out_ref.dtype
-    xcf, xcb = _conv_stage_odd(
+    xcf, xcb, *_ = _conv_stage_odd(
         xh_ref, prev_ref, next_ref, winx_ref, binx_ref, wcf_ref, bcf_ref,
         wab_ref, bab_ref, dt, H=H, CT=CT, dm=dm, di=di, nt=nt,
         interpret=interpret)
@@ -385,6 +389,371 @@ def _pass_b_mat_kernel(xh_ref, xcf_ref, xcb_ref, yf_ref, yb_ref,
     _merge_tail(xh_ref, yf, yb, xcf, xcb, winz_ref, binz_ref, df_ref,
                 db_ref, lnw_ref, lnb_ref, wout_ref, bout_ref, out_ref,
                 S0=S0, S1=S1, dm=dm, di=di, eps=eps, use_ln=use_ln)
+
+
+# ----------------------------------------------------------------------
+# fused backward (FASTVIM_LF_BWD=fused): adjoint kernels mirroring the
+# forward tiles; the pooled scans' VJP runs in XLA between them.
+# Cross-tile conv-adjoint terms arrive as halo READS (the adjoint of
+# "my boundary outputs consumed the neighbour's values" is "my boundary
+# inputs receive from the neighbour's cotangents"), so no tile ever
+# writes outside its own blocks. Weight grads accumulate into
+# constant-index output blocks revisited across the sequential grid.
+# ----------------------------------------------------------------------
+
+
+def _dsilu(v):
+    """d/dv [v·sigmoid(v)] with all-vector operands."""
+    s = jnp.ones_like(v) / (jnp.ones_like(v) + jnp.exp(-v))
+    return s * (jnp.ones_like(v) + v * (jnp.ones_like(v) - s))
+
+
+def _acc(ref, contrib, first):
+    ref[...] = jnp.where(first, contrib, ref[...] + contrib)
+
+
+def _pass_b_bwd_kernel(g_ref, xh_ref, xcf_ref, xcb_ref, yf_ref, yb_ref,
+                       winz_ref, binz_ref, df_ref, db_ref, lnw_ref,
+                       lnb_ref, wout_ref,
+                       dxh_ref, dxcf_ref, dxcb_ref, dyf_ref, dyb_ref,
+                       dwout_ref, dbout_ref, dwinz_ref, dbinz_ref,
+                       dlnw_ref, dlnb_ref, ddf_ref, ddb_ref,
+                       *, S0, S1, dm, di, eps, use_ln, bcast_axis):
+    """Adjoint of pass B over one (S0, S1) token tile: out_proj GEMM,
+    gate, LN, merge, D-skip, broadcast — recomputes z/m0/LN stats from
+    the saved forward tensors (x̂, xc, pooled y)."""
+    f32 = jnp.float32
+    dt = xh_ref.dtype
+    T = S0 * S1
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    xh = xh_ref[0].reshape(T, dm)
+    z = jnp.dot(xh.astype(dt), winz_ref[...].astype(dt),
+                preferred_element_type=f32)
+    z = z + binz_ref[...].astype(f32)                     # (T, di)
+    sz = _silu(z)
+    xcf = xcf_ref[0].astype(f32)                          # (S0, S1, di)
+    xcb = xcb_ref[0].astype(f32)
+    df = df_ref[...].astype(f32)
+    db = db_ref[...].astype(f32)
+    if bcast_axis == 1:
+        yf = yf_ref[0].astype(f32).reshape(S0, 1, di)
+        yb = yb_ref[0].astype(f32).reshape(S0, 1, di)
+    else:
+        yf = yf_ref[0].astype(f32).reshape(1, S1, di)
+        yb = yb_ref[0].astype(f32).reshape(1, S1, di)
+    m0 = ((yf + df[None] * xcf + yb + db[None] * xcb)
+          * f32(0.5)).reshape(T, di)
+
+    g = g_ref[0].reshape(T, dm).astype(f32)
+    # dm_gated = g · wout^T  (contract dm with dm — no transpose
+    # materialization)
+    dm_gated = jax.lax.dot_general(
+        g.astype(dt), wout_ref[...].astype(dt),
+        (((1,), (1,)), ((), ())), preferred_element_type=f32)
+
+    if use_ln:
+        mu = jnp.mean(m0, axis=-1, keepdims=True)
+        var = jnp.mean(m0 * m0, axis=-1, keepdims=True) - mu * mu
+        rstd = jax.lax.rsqrt(var + f32(eps))
+        mhat = (m0 - mu) * rstd
+        lnw = lnw_ref[...].astype(f32)
+        mln = mhat * lnw + lnb_ref[...].astype(f32)
+    else:
+        mhat = m0
+        mln = m0
+
+    dmln = dm_gated * sz
+    dz = dm_gated * mln * _dsilu(z)
+
+    # out_proj weight grads: dwout = (mln·sz)^T · g
+    mg = (mln * sz).astype(dt)
+    _acc(dwout_ref, jax.lax.dot_general(
+        mg, g.astype(dt), (((0,), (0,)), ((), ())),
+        preferred_element_type=f32), first)
+    _acc(dbout_ref, jnp.sum(g, 0, keepdims=True), first)
+
+    if use_ln:
+        _acc(dlnw_ref, jnp.sum(dmln * mhat, 0, keepdims=True), first)
+        _acc(dlnb_ref, jnp.sum(dmln, 0, keepdims=True), first)
+        dmhat = dmln * lnw
+        dm0 = rstd * (dmhat
+                      - jnp.mean(dmhat, axis=-1, keepdims=True)
+                      - mhat * jnp.mean(dmhat * mhat, axis=-1,
+                                        keepdims=True))
+    else:
+        # keep the accumulator outputs defined even when LN is off
+        zrow = jnp.zeros((1, di), f32)
+        _acc(dlnw_ref, zrow, first)
+        _acc(dlnb_ref, zrow, first)
+        dm0 = dmln
+
+    # z-half GEMM adjoints
+    _acc(dwinz_ref, jax.lax.dot_general(
+        xh.astype(dt), dz.astype(dt), (((0,), (0,)), ((), ())),
+        preferred_element_type=f32), first)
+    _acc(dbinz_ref, jnp.sum(dz, 0, keepdims=True), first)
+    dxh = jax.lax.dot_general(
+        dz.astype(dt), winz_ref[...].astype(dt),
+        (((1,), (1,)), ((), ())), preferred_element_type=f32)
+    dxh_ref[0] = dxh.astype(dxh_ref.dtype).reshape(S0, S1, dm)
+
+    # merge / D-skip / broadcast adjoints
+    dm0h = (dm0 * f32(0.5)).reshape(S0, S1, di)
+    dxcf = dm0h * df[None]
+    dxcb = dm0h * db[None]
+    _acc(ddf_ref, jnp.sum((dm0h * xcf).reshape(T, di), 0,
+                          keepdims=True), first)
+    _acc(ddb_ref, jnp.sum((dm0h * xcb).reshape(T, di), 0,
+                          keepdims=True), first)
+    dxcf_ref[0] = dxcf.astype(dxcf_ref.dtype)
+    dxcb_ref[0] = dxcb.astype(dxcb_ref.dtype)
+    # yf and yb enter the merge symmetrically → identical cotangents
+    dy = jnp.sum(dm0h, bcast_axis)
+    dyf_ref[0] = dy.astype(dyf_ref.dtype)
+    dyb_ref[0] = dy.astype(dyb_ref.dtype)
+
+
+def _pass_a_bwd_even_kernel(
+        xh_ref, prev_ref, next_ref, dxh_b_ref, dxcf_ref, dxcb_ref,
+        dxcf_next_ref, dxcb_prev_ref, dpf_ref, dpb_ref, dpf_next_ref,
+        dpb_prev_ref, winx_ref, binx_ref, wcf_ref, bcf_ref, wab_ref,
+        bab_ref,
+        dxh_ref, dwinx_ref, dbinx_ref, dwcf_ref, dbcf_ref, dwab_ref,
+        dbab_ref,
+        *, RT, W, dm, di, scaling, nt, interpret):
+    """Adjoint of pass A (even orientation): mean-pool bwd, silu bwd on
+    recomputed pre-activations, dual-conv adjoint (cross-tile terms as
+    halo reads of the NEIGHBOUR's cotangents), x-half GEMM adjoint.
+    Accumulates dwinx/dbinx/dwcf/dbcf/dwab/dbab across the grid."""
+    i = pl.program_id(1)
+    f32 = jnp.float32
+    dt = xh_ref.dtype
+    T = RT * W
+    first = jnp.logical_and(pl.program_id(0) == 0, i == 0)
+
+    _, _, yc, ya, xin, prev_row, next_row = _conv_stage_even(
+        xh_ref, prev_ref, next_ref, winx_ref, binx_ref, wcf_ref,
+        bcf_ref, wab_ref, bab_ref, dt, RT=RT, W=W, dm=dm, di=di, nt=nt,
+        interpret=interpret)
+    wc = wcf_ref[...].astype(f32)
+    wa = wab_ref[...].astype(f32)
+    bcf = bcf_ref[...].astype(f32)
+    bab = bab_ref[...].astype(f32)
+    tail_true = prev_row[W - PAD:]                       # (3, di)
+    head_true = next_row[:PAD]
+
+    # pool backward (mean with scaling): one pooled cotangent per row
+    sw = f32(scaling / W)
+    dpf = dpf_ref[0].astype(f32)                         # (RT, di)
+    dpb = dpb_ref[0].astype(f32)
+    Dxcf = dxcf_ref[0].astype(f32) + dpf[:, None] * sw   # (RT, W, di)
+    Dxcb = dxcb_ref[0].astype(f32) + dpb[:, None] * sw
+    dyc = Dxcf.reshape(T, di) * _dsilu(yc)               # (T, di)
+    dya = Dxcb.reshape(T, di) * _dsilu(ya)
+    _acc(dbcf_ref, jnp.sum(dyc, 0, keepdims=True), first)
+    _acc(dbab_ref, jnp.sum(dya, 0, keepdims=True), first)
+
+    # halo cotangents: the NEXT tile's first 3 causal outputs and the
+    # PREV tile's last 3 anticausal outputs consumed my boundary inputs
+    keep_n = (i < nt - 1)
+    keep_p = (i > 0)
+    dxcf_n3 = dxcf_next_ref[0, 0, :PAD].astype(f32)      # (3, di)
+    dpf_n = dpf_next_ref[0, 0:1].astype(f32)             # (1, di)
+    Dxcf_n3 = dxcf_n3 + dpf_n * sw
+    cat6c = jnp.concatenate([xin[T - PAD:], head_true], 0)   # (6, di)
+    yc_n3 = bcf * jnp.ones((PAD, di), f32)
+    for k in range(PAD + 1):
+        yc_n3 = yc_n3 + cat6c[k:k + PAD] * wc[k][None]
+    dyc_n3 = Dxcf_n3 * _dsilu(yc_n3) * keep_n.astype(f32)
+
+    dxcb_p3 = dxcb_prev_ref[0, 0, W - PAD:].astype(f32)  # (3, di)
+    dpb_p = dpb_prev_ref[0, RT - 1:RT].astype(f32)       # (1, di)
+    Dxcb_p3 = dxcb_p3 + dpb_p * sw
+    cat6a = jnp.concatenate([tail_true, xin[:PAD]], 0)   # (6, di)
+    ya_p3 = bab * jnp.ones((PAD, di), f32)
+    for k in range(PAD + 1):
+        ya_p3 = ya_p3 + cat6a[k:k + PAD] * wa[PAD - k][None]
+    dya_p3 = Dxcb_p3 * _dsilu(ya_p3) * keep_p.astype(f32)
+
+    # conv adjoint: dxin[t] = Σ_k wc[k]·dyc_ext[t+(PAD-k)]
+    #                       + Σ_k wa[PAD-k]·dya_ext[t-k]
+    dxin = None
+    for k in range(PAD + 1):
+        s = PAD - k
+        if s == 0:
+            rc = dyc
+        else:
+            rc = jnp.concatenate(
+                [_roll(dyc, -s, 0, interpret)[:T - s], dyc_n3[:s]], 0)
+        term = rc * wc[k][None]
+        if k == 0:
+            ra = dya
+        else:
+            ra = jnp.concatenate([dya_p3[PAD - k:], dya[:T - k]], 0)
+        term = term + ra * wa[PAD - k][None]
+        dxin = term if dxin is None else dxin + term
+
+    # conv weight grads: Σ_t (corrected shifted input)·cotangent
+    dwc_rows = []
+    dwa_rows = [None] * (PAD + 1)
+    for k in range(PAD + 1):
+        s = PAD - k
+        base = jnp.sum(_roll(xin, s, 0, interpret) * dyc, 0,
+                       keepdims=True)
+        if s:
+            base = base + jnp.sum(
+                (tail_true[PAD - s:] - xin[T - s:]) * dyc[:s], 0,
+                keepdims=True)
+        dwc_rows.append(base)
+        base_a = jnp.sum(_roll(xin, -k, 0, interpret) * dya, 0,
+                         keepdims=True)
+        if k:
+            base_a = base_a + jnp.sum(
+                (head_true[:k] - xin[:k]) * dya[T - k:], 0,
+                keepdims=True)
+        dwa_rows[PAD - k] = base_a
+    _acc(dwcf_ref, jnp.concatenate(dwc_rows, 0), first)
+    _acc(dwab_ref, jnp.concatenate(dwa_rows, 0), first)
+
+    # x-half GEMM adjoint
+    xh = xh_ref[0].reshape(T, dm)
+    _acc(dwinx_ref, jax.lax.dot_general(
+        xh.astype(dt), dxin.astype(dt), (((0,), (0,)), ((), ())),
+        preferred_element_type=f32), first)
+    _acc(dbinx_ref, jnp.sum(dxin, 0, keepdims=True), first)
+    dxh = dxh_b_ref[0].reshape(T, dm).astype(f32) + jax.lax.dot_general(
+        dxin.astype(dt), winx_ref[...].astype(dt),
+        (((1,), (1,)), ((), ())), preferred_element_type=f32)
+    dxh_ref[0] = dxh.astype(dxh_ref.dtype).reshape(RT, W, dm)
+
+
+def _pass_a_bwd_odd_kernel(
+        xh_ref, prev_ref, next_ref, dxh_b_ref, dxcf_ref, dxcb_ref,
+        dxcf_next_ref, dxcb_prev_ref, dpf_ref, dpb_ref, dpf_next_ref,
+        dpb_prev_ref, winx_ref, binx_ref, wcf_ref, bcf_ref, wab_ref,
+        bab_ref,
+        dxh_ref, dwinx_ref, dbinx_ref, dwcf_ref, dbcf_ref, dwab_ref,
+        dbab_ref,
+        *, H, CT, dm, di, scaling, nt, interpret):
+    """Adjoint of pass A (odd/transposed orientation): conv adjoint
+    along the leading H axis with cross-column wrap — in-tile column
+    shifts mirror the forward's head/tail_true construction; cross-tile
+    terms read the neighbour tile's first/last column cotangents."""
+    j = pl.program_id(1)
+    f32 = jnp.float32
+    dt = xh_ref.dtype
+    first = jnp.logical_and(pl.program_id(0) == 0, j == 0)
+
+    _, _, yc, ya, xin, prev_col, next_col = _conv_stage_odd(
+        xh_ref, prev_ref, next_ref, winx_ref, binx_ref, wcf_ref,
+        bcf_ref, wab_ref, bab_ref, dt, H=H, CT=CT, dm=dm, di=di, nt=nt,
+        interpret=interpret)
+    wc = wcf_ref[...].astype(f32)
+    wa = wab_ref[...].astype(f32)
+    bcf = bcf_ref[...].astype(f32)
+    bab = bab_ref[...].astype(f32)
+    # true boundary inputs, as the forward builds them
+    tail_self = xin[H - PAD:]                            # (3, CT, di)
+    head_self = xin[:PAD]
+    tail_true = jnp.concatenate(
+        [prev_col[H - PAD:].reshape(PAD, 1, di), tail_self[:, :CT - 1]],
+        1)
+    head_true = jnp.concatenate(
+        [head_self[:, 1:], next_col[:PAD].reshape(PAD, 1, di)], 1)
+
+    sh = f32(scaling / H)
+    dpf = dpf_ref[0].astype(f32)                         # (CT, di)
+    dpb = dpb_ref[0].astype(f32)
+    Dxcf = dxcf_ref[0].astype(f32) + dpf[None] * sh      # (H, CT, di)
+    Dxcb = dxcb_ref[0].astype(f32) + dpb[None] * sh
+    dyc = Dxcf * _dsilu(yc)                              # (H, CT, di)
+    dya = Dxcb * _dsilu(ya)
+    T = H * CT
+    _acc(dbcf_ref, jnp.sum(dyc.reshape(T, di), 0, keepdims=True), first)
+    _acc(dbab_ref, jnp.sum(dya.reshape(T, di), 0, keepdims=True), first)
+
+    # halo cotangents at the neighbouring TILES' boundary columns
+    keep_n = (j < nt - 1)
+    keep_p = (j > 0)
+    dxcf_n3 = dxcf_next_ref[0, :PAD, 0:1, :].reshape(PAD, di) \
+        .astype(f32)
+    dpf_n = dpf_next_ref[0, 0:1].astype(f32)             # (1, di)
+    Dxcf_n3 = dxcf_n3 + dpf_n * sh
+    my_tail = xin[H - PAD:, CT - 1:CT, :].reshape(PAD, di)
+    cat6c = jnp.concatenate([my_tail, next_col[:PAD]], 0)
+    yc_n3 = bcf * jnp.ones((PAD, di), f32)
+    for k in range(PAD + 1):
+        yc_n3 = yc_n3 + cat6c[k:k + PAD] * wc[k][None]
+    dyc_n3 = Dxcf_n3 * _dsilu(yc_n3) * keep_n.astype(f32)
+
+    dxcb_p3 = dxcb_prev_ref[0, H - PAD:, CT - 1:CT, :] \
+        .reshape(PAD, di).astype(f32)
+    dpb_p = dpb_prev_ref[0, CT - 1:CT].astype(f32)
+    Dxcb_p3 = dxcb_p3 + dpb_p * sh
+    my_head = xin[:PAD, 0:1, :].reshape(PAD, di)
+    cat6a = jnp.concatenate([prev_col[H - PAD:], my_head], 0)
+    ya_p3 = bab * jnp.ones((PAD, di), f32)
+    for k in range(PAD + 1):
+        ya_p3 = ya_p3 + cat6a[k:k + PAD] * wa[PAD - k][None]
+    dya_p3 = Dxcb_p3 * _dsilu(ya_p3) * keep_p.astype(f32)
+
+    # cotangent boundary lines shifted one column, mirroring head/tail
+    # _true in the forward: my column col's overflow outputs live in
+    # column col+1's head (causal) / col-1's tail (anticausal)
+    next_head = jnp.concatenate(
+        [dyc[:PAD, 1:], dyc_n3.reshape(PAD, 1, di)], 1)  # (3, CT, di)
+    prev_tail = jnp.concatenate(
+        [dya_p3.reshape(PAD, 1, di), dya[H - PAD:, :CT - 1]], 1)
+
+    dxin = None
+    for k in range(PAD + 1):
+        s = PAD - k
+        if s == 0:
+            rc = dyc
+        else:
+            rc = jnp.concatenate(
+                [_roll(dyc, -s, 0, interpret)[:H - s], next_head[:s]],
+                0)
+        term = rc * wc[k][None, None]
+        if k == 0:
+            ra = dya
+        else:
+            ra = jnp.concatenate([prev_tail[PAD - k:], dya[:H - k]], 0)
+        term = term + ra * wa[PAD - k][None, None]
+        dxin = term if dxin is None else dxin + term
+
+    dwc_rows = []
+    dwa_rows = [None] * (PAD + 1)
+    for k in range(PAD + 1):
+        s = PAD - k
+        base = jnp.sum((_roll(xin, s, 0, interpret)
+                        * dyc).reshape(T, di), 0, keepdims=True)
+        if s:
+            base = base + jnp.sum(
+                ((tail_true[PAD - s:] - xin[H - s:])
+                 * dyc[:s]).reshape(s * CT, di), 0, keepdims=True)
+        dwc_rows.append(base)
+        base_a = jnp.sum((_roll(xin, -k, 0, interpret)
+                          * dya).reshape(T, di), 0, keepdims=True)
+        if k:
+            base_a = base_a + jnp.sum(
+                ((head_true[:k] - xin[:k])
+                 * dya[H - k:]).reshape(k * CT, di), 0, keepdims=True)
+        dwa_rows[PAD - k] = base_a
+    _acc(dwcf_ref, jnp.concatenate(dwc_rows, 0), first)
+    _acc(dwab_ref, jnp.concatenate(dwa_rows, 0), first)
+
+    xh = xh_ref[0].reshape(T, dm)
+    dxin_f = dxin.reshape(T, di)
+    _acc(dwinx_ref, jax.lax.dot_general(
+        xh.astype(dt), dxin_f.astype(dt), (((0,), (0,)), ((), ())),
+        preferred_element_type=f32), first)
+    _acc(dbinx_ref, jnp.sum(dxin_f, 0, keepdims=True), first)
+    dxh = dxh_b_ref[0].reshape(T, dm).astype(f32) + jax.lax.dot_general(
+        dxin_f.astype(dt), winx_ref[...].astype(dt),
+        (((1,), (1,)), ((), ())), preferred_element_type=f32)
+    dxh_ref[0] = dxh.astype(dxh_ref.dtype).reshape(H, CT, dm)
 
 
 # ----------------------------------------------------------------------
@@ -457,28 +826,117 @@ def _zeros_or(v, shape):
     return jnp.zeros(shape, jnp.float32) if v is None else v
 
 
-def _fused_fwd_impl(x_hat, p, grid, transposed, scaling, eps, use_ln,
-                    dtype, scan_impl, interpret):
+class _Tiling:
+    """Block specs shared by the forward and backward pallas calls."""
+
+    def __init__(self, grid, transposed, di, dm):
+        H, W = grid
+        self.vec_di = pl.BlockSpec((1, di), lambda b, i: (0, 0))
+        self.vec_dm = pl.BlockSpec((1, dm), lambda b, i: (0, 0))
+        self.mat = lambda r, c: pl.BlockSpec((r, c), lambda b, i: (0, 0))
+        self.conv_w = pl.BlockSpec((PAD + 1, di), lambda b, i: (0, 0))
+        tile_env = int(os.environ.get("FASTVIM_LF_TILE", "0"))
+        if not transposed:
+            RT = tile_env or _pick_tile(H, W, di)
+            assert H % RT == 0
+            self.tile, self.nt = RT, H // RT
+            nt = self.nt
+            self.xh = pl.BlockSpec((1, RT, W, dm),
+                                   lambda b, i: (b, i, 0, 0))
+            self.prev = pl.BlockSpec(
+                (1, 1, W, dm),
+                lambda b, i: (b, jnp.maximum(i * RT - 1, 0), 0, 0))
+            self.next = pl.BlockSpec(
+                (1, 1, W, dm),
+                lambda b, i: (b, jnp.minimum((i + 1) * RT, H - 1), 0, 0))
+            self.xc = pl.BlockSpec((1, RT, W, di),
+                                   lambda b, i: (b, i, 0, 0))
+            # one-row halos of a full-length (B, H, W, di) cotangent
+            self.xc_next = pl.BlockSpec(
+                (1, 1, W, di),
+                lambda b, i: (b, jnp.minimum((i + 1) * RT, H - 1), 0, 0))
+            self.xc_prev = pl.BlockSpec(
+                (1, 1, W, di),
+                lambda b, i: (b, jnp.maximum(i * RT - 1, 0), 0, 0))
+            self.pool = pl.BlockSpec((1, RT, di), lambda b, i: (b, i, 0))
+            self.pool_next = pl.BlockSpec(
+                (1, RT, di), lambda b, i: (b, jnp.minimum(i + 1, nt - 1),
+                                           0))
+            self.pool_prev = pl.BlockSpec(
+                (1, RT, di), lambda b, i: (b, jnp.maximum(i - 1, 0), 0))
+            self.P = H
+            self.tile_tokens = RT * W
+        else:
+            CT = tile_env or _pick_tile(W, H, di)
+            assert W % CT == 0
+            self.tile, self.nt = CT, W // CT
+            nt = self.nt
+            self.xh = pl.BlockSpec((1, H, CT, dm),
+                                   lambda b, j: (b, 0, j, 0))
+            self.prev = pl.BlockSpec(
+                (1, H, CT, dm),
+                lambda b, j: (b, 0, jnp.maximum(j - 1, 0), 0))
+            self.next = pl.BlockSpec(
+                (1, H, CT, dm),
+                lambda b, j: (b, 0, jnp.minimum(j + 1, nt - 1), 0))
+            self.xc = pl.BlockSpec((1, H, CT, di),
+                                   lambda b, j: (b, 0, j, 0))
+            # full neighbour column-tiles (Mosaic 8/128 block rule)
+            self.xc_next = pl.BlockSpec(
+                (1, H, CT, di),
+                lambda b, j: (b, 0, jnp.minimum(j + 1, nt - 1), 0))
+            self.xc_prev = pl.BlockSpec(
+                (1, H, CT, di),
+                lambda b, j: (b, 0, jnp.maximum(j - 1, 0), 0))
+            self.pool = pl.BlockSpec((1, CT, di), lambda b, j: (b, j, 0))
+            self.pool_next = pl.BlockSpec(
+                (1, CT, di), lambda b, j: (b, jnp.minimum(j + 1, nt - 1),
+                                           0))
+            self.pool_prev = pl.BlockSpec(
+                (1, CT, di), lambda b, j: (b, jnp.maximum(j - 1, 0), 0))
+            self.P = W
+            self.tile_tokens = H * CT
+        self.cparams = pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(self.tile_tokens, di),
+            dimension_semantics=("arbitrary", "arbitrary"))
+
+
+def _split_params(p, use_ln, di, dm):
     (win, bin_, wcf, bcf, wab, bab, xpf, dtwf, dtbf, Af, Df,
      xpb, dtwb, dtbb, Ab, Db, lnw, lnb, wout, bout) = p
+    winx, winz = win[:, :di], win[:, di:]
+    return dict(
+        winx=winx, winz=winz,
+        binx=_zeros_or(None if bin_ is None else bin_[:di], (di,))[None],
+        binz=_zeros_or(None if bin_ is None else bin_[di:], (di,))[None],
+        wcf=wcf, bcf_=_zeros_or(bcf, (di,))[None],
+        wab=wab, bab_=_zeros_or(bab, (di,))[None],
+        lnw_=_zeros_or(lnw if use_ln else None, (di,))[None],
+        lnb_=_zeros_or(lnb if use_ln else None, (di,))[None],
+        wout=wout, bout_=_zeros_or(bout, (dm,))[None],
+        Df=Df, Db=Db, xpf=xpf, dtwf=dtwf, dtbf=dtbf, Af=Af,
+        xpb=xpb, dtwb=dtwb, dtbb=dtbb, Ab=Ab)
+
+
+def _fused_fwd_impl(x_hat, p, grid, transposed, scaling, eps, use_ln,
+                    dtype, scan_impl, interpret, return_saved=False):
     B, L, dm = x_hat.shape
     H, W = grid
-    di = wcf.shape[1]
+    di = p[2].shape[1]
     assert L == H * W, (L, grid)
     x4 = x_hat.reshape(B, H, W, dm).astype(dtype)
-    winx, winz = win[:, :di], win[:, di:]
-    binx = _zeros_or(None if bin_ is None else bin_[:di], (di,))[None]
-    binz = _zeros_or(None if bin_ is None else bin_[di:], (di,))[None]
-    bcf_ = _zeros_or(bcf, (di,))[None]
-    bab_ = _zeros_or(bab, (di,))[None]
-    lnw_ = _zeros_or(lnw if use_ln else None, (di,))[None]
-    lnb_ = _zeros_or(lnb if use_ln else None, (di,))[None]
-    bout_ = _zeros_or(bout, (dm,))[None]
+    s = _split_params(p, use_ln, di, dm)
+    winx, winz, binx, binz = s["winx"], s["winz"], s["binx"], s["binz"]
+    wcf, bcf_, wab, bab_ = s["wcf"], s["bcf_"], s["wab"], s["bab_"]
+    lnw_, lnb_, wout, bout_ = s["lnw_"], s["lnb_"], s["wout"], s["bout_"]
+    Df, Db = s["Df"], s["Db"]
 
-    vec_di = pl.BlockSpec((1, di), lambda b, i: (0, 0))
-    vec_dm = pl.BlockSpec((1, dm), lambda b, i: (0, 0))
-    mat = lambda r, c: pl.BlockSpec((r, c), lambda b, i: (0, 0))
-    conv_w = pl.BlockSpec((PAD + 1, di), lambda b, i: (0, 0))
+    t = _Tiling(grid, transposed, di, dm)
+    vec_di, vec_dm, mat, conv_w = t.vec_di, t.vec_dm, t.mat, t.conv_w
+    xh_spec, prev_spec, next_spec = t.xh, t.prev, t.next
+    xc_spec, pool_spec, P, nt = t.xc, t.pool, t.P, t.nt
+    cparams = t.cparams
+    grid_a = (B, nt)
     # opt-in recompute mode: pass A writes only the pooled arrays and
     # pass B re-runs the x-half GEMM + conv (≈4× fewer HBM bytes) —
     # measured SLOWER (136 vs 201 img/s @2048 b2): the kernels are
@@ -486,20 +944,7 @@ def _fused_fwd_impl(x_hat, p, grid, transposed, scaling, eps, use_ln,
     recompute = os.environ.get("FASTVIM_LF_RECOMPUTE", "0") == "1"
 
     if not transposed:
-        RT = int(os.environ.get("FASTVIM_LF_TILE", "0")) or \
-            _pick_tile(H, W, di)
-        assert H % RT == 0
-        nt = H // RT
-        xh_spec = pl.BlockSpec((1, RT, W, dm), lambda b, i: (b, i, 0, 0))
-        prev_spec = pl.BlockSpec(
-            (1, 1, W, dm),
-            lambda b, i: (b, jnp.maximum(i * RT - 1, 0), 0, 0))
-        next_spec = pl.BlockSpec(
-            (1, 1, W, dm),
-            lambda b, i: (b, jnp.minimum((i + 1) * RT, H - 1), 0, 0))
-        xc_spec = pl.BlockSpec((1, RT, W, di), lambda b, i: (b, i, 0, 0))
-        pool_spec = pl.BlockSpec((1, RT, di), lambda b, i: (b, i, 0))
-        P = H
+        RT = t.tile
         kern_a = functools.partial(_pass_a_even_kernel, RT=RT, W=W,
                                    dm=dm, di=di, scaling=scaling, nt=nt,
                                    interpret=interpret)
@@ -512,22 +957,8 @@ def _fused_fwd_impl(x_hat, p, grid, transposed, scaling, eps, use_ln,
             kern_b = functools.partial(_pass_b_mat_kernel, S0=RT, S1=W,
                                        dm=dm, di=di, eps=eps,
                                        use_ln=use_ln, bcast_axis=1)
-        grid_a = (B, nt)
     else:
-        CT = int(os.environ.get("FASTVIM_LF_TILE", "0")) or \
-            _pick_tile(W, H, di)
-        assert W % CT == 0
-        nt = W // CT
-        xh_spec = pl.BlockSpec((1, H, CT, dm), lambda b, j: (b, 0, j, 0))
-        prev_spec = pl.BlockSpec(
-            (1, H, CT, dm),
-            lambda b, j: (b, 0, jnp.maximum(j - 1, 0), 0))
-        next_spec = pl.BlockSpec(
-            (1, H, CT, dm),
-            lambda b, j: (b, 0, jnp.minimum(j + 1, nt - 1), 0))
-        xc_spec = pl.BlockSpec((1, H, CT, di), lambda b, j: (b, 0, j, 0))
-        pool_spec = pl.BlockSpec((1, CT, di), lambda b, j: (b, j, 0))
-        P = W
+        CT = t.tile
         kern_a = functools.partial(_pass_a_odd_kernel, H=H, CT=CT, dm=dm,
                                    di=di, scaling=scaling, nt=nt,
                                    interpret=interpret)
@@ -540,11 +971,6 @@ def _fused_fwd_impl(x_hat, p, grid, transposed, scaling, eps, use_ln,
             kern_b = functools.partial(_pass_b_mat_kernel, S0=H, S1=CT,
                                        dm=dm, di=di, eps=eps,
                                        use_ln=use_ln, bcast_axis=0)
-        grid_a = (B, nt)
-
-    tile_tokens = (RT * W) if not transposed else (H * CT)
-    cparams = pltpu.CompilerParams(
-        vmem_limit_bytes=_vmem_limit(tile_tokens, di))
     pool_shape = jax.ShapeDtypeStruct((B, P, di), dtype)
     xc_shape = jax.ShapeDtypeStruct((B, H, W, di), dtype)
     a_out_specs = [pool_spec, pool_spec] if recompute else \
@@ -563,8 +989,10 @@ def _fused_fwd_impl(x_hat, p, grid, transposed, scaling, eps, use_ln,
     )(x4, x4, x4, winx, binx, wcf, bcf_, wab, bab_)
     pf, pb = a_out[-2:]
 
-    yf = _proj_scan(pf, xpf, dtwf, dtbf, Af, dtype, scan_impl, False)
-    yb = _proj_scan(pb, xpb, dtwb, dtbb, Ab, dtype, scan_impl, True)
+    yf = _proj_scan(pf, s["xpf"], s["dtwf"], s["dtbf"], s["Af"], dtype,
+                    scan_impl, False)
+    yb = _proj_scan(pb, s["xpb"], s["dtwb"], s["dtbb"], s["Ab"], dtype,
+                    scan_impl, True)
     yf = yf.astype(dtype)
     yb = yb.astype(dtype)
 
@@ -593,7 +1021,130 @@ def _fused_fwd_impl(x_hat, p, grid, transposed, scaling, eps, use_ln,
         compiler_params=cparams,
         interpret=interpret,
     )(*b_args)
-    return out.reshape(B, L, dm)
+    out = out.reshape(B, L, dm)
+    if return_saved:
+        if recompute:
+            return out, None  # fused bwd needs materialized xc
+        return out, (a_out[0], a_out[1], pf, pb)
+    return out
+
+
+def _fused_bwd_impl(g, x_hat, p, xc_f, xc_b, pf, pb, grid, transposed,
+                    scaling, eps, use_ln, dtype, scan_impl, interpret):
+    """Fused adjoint: pass-B bwd kernel → scans' VJP (XLA, pooled) →
+    pass-A bwd kernel. Returns (dx_hat, dp) matching the primals."""
+    (win, bin_, wcf, bcf, wab, bab, xpf, dtwf, dtbf, Af, Df,
+     xpb, dtwb, dtbb, Ab, Db, lnw, lnb, wout, bout) = p
+    B, L, dm = x_hat.shape
+    H, W = grid
+    di = wcf.shape[1]
+    f32 = jnp.float32
+    x4 = x_hat.reshape(B, H, W, dm).astype(dtype)
+    g4 = g.reshape(B, H, W, dm).astype(dtype)
+    s = _split_params(p, use_ln, di, dm)
+    t = _Tiling(grid, transposed, di, dm)
+    grid_a = (B, t.nt)
+    mat, vec_di, vec_dm, conv_w = t.mat, t.vec_di, t.vec_dm, t.conv_w
+
+    def mid(pf_, pb_, xpf_, dtwf_, dtbf_, Af_, xpb_, dtwb_, dtbb_, Ab_):
+        yf_ = _proj_scan(pf_, xpf_, dtwf_, dtbf_, Af_, dtype, scan_impl,
+                         False)
+        yb_ = _proj_scan(pb_, xpb_, dtwb_, dtbb_, Ab_, dtype, scan_impl,
+                         True)
+        return yf_.astype(dtype), yb_.astype(dtype)
+
+    (yf, yb), vjp_mid = jax.vjp(mid, pf, pb, xpf, dtwf, dtbf, Af,
+                                xpb, dtwb, dtbb, Ab)
+
+    if not transposed:
+        S0, S1, bcast_axis = t.tile, W, 1
+    else:
+        S0, S1, bcast_axis = H, t.tile, 0
+    kern_b = functools.partial(_pass_b_bwd_kernel, S0=S0, S1=S1, dm=dm,
+                               di=di, eps=eps, use_ln=use_ln,
+                               bcast_axis=bcast_axis)
+    outs_b = pl.pallas_call(
+        kern_b,
+        grid=grid_a,
+        in_specs=[t.xh, t.xh, t.xc, t.xc, t.pool, t.pool, mat(dm, di),
+                  vec_di, vec_di, vec_di, vec_di, vec_di, mat(di, dm)],
+        out_specs=[t.xh, t.xc, t.xc, t.pool, t.pool, mat(di, dm),
+                   vec_dm, mat(dm, di), vec_di, vec_di, vec_di, vec_di,
+                   vec_di],
+        out_shape=[jax.ShapeDtypeStruct((B, H, W, dm), f32),
+                   jax.ShapeDtypeStruct((B, H, W, di), dtype),
+                   jax.ShapeDtypeStruct((B, H, W, di), dtype),
+                   jax.ShapeDtypeStruct((B, t.P, di), dtype),
+                   jax.ShapeDtypeStruct((B, t.P, di), dtype),
+                   jax.ShapeDtypeStruct((di, dm), f32),
+                   jax.ShapeDtypeStruct((1, dm), f32),
+                   jax.ShapeDtypeStruct((dm, di), f32),
+                   jax.ShapeDtypeStruct((1, di), f32),
+                   jax.ShapeDtypeStruct((1, di), f32),
+                   jax.ShapeDtypeStruct((1, di), f32),
+                   jax.ShapeDtypeStruct((1, di), f32),
+                   jax.ShapeDtypeStruct((1, di), f32)],
+        compiler_params=t.cparams,
+        interpret=interpret,
+    )(g4, x4, xc_f, xc_b, yf, yb, s["winz"], s["binz"], Df[None],
+      Db[None], s["lnw_"], s["lnb_"], wout)
+    (dxh_b, dxcf, dxcb, dyf, dyb, dwout, dbout, dwinz, dbinz, dlnw,
+     dlnb, dDf_a, dDb_a) = outs_b
+
+    (dpf, dpb, dxpf, ddtwf, ddtbf, dAf, dxpb, ddtwb, ddtbb,
+     dAb) = vjp_mid((dyf, dyb))
+
+    if not transposed:
+        kern_a = functools.partial(_pass_a_bwd_even_kernel, RT=t.tile,
+                                   W=W, dm=dm, di=di, scaling=scaling,
+                                   nt=t.nt, interpret=interpret)
+    else:
+        kern_a = functools.partial(_pass_a_bwd_odd_kernel, H=H,
+                                   CT=t.tile, dm=dm, di=di,
+                                   scaling=scaling, nt=t.nt,
+                                   interpret=interpret)
+    outs_a = pl.pallas_call(
+        kern_a,
+        grid=grid_a,
+        in_specs=[t.xh, t.prev, t.next, t.xh, t.xc, t.xc, t.xc_next,
+                  t.xc_prev, t.pool, t.pool, t.pool_next, t.pool_prev,
+                  mat(dm, di), vec_di, conv_w, vec_di, conv_w, vec_di],
+        out_specs=[t.xh, mat(dm, di), vec_di, conv_w, vec_di, conv_w,
+                   vec_di],
+        out_shape=[jax.ShapeDtypeStruct((B, H, W, dm), f32),
+                   jax.ShapeDtypeStruct((dm, di), f32),
+                   jax.ShapeDtypeStruct((1, di), f32),
+                   jax.ShapeDtypeStruct((PAD + 1, di), f32),
+                   jax.ShapeDtypeStruct((1, di), f32),
+                   jax.ShapeDtypeStruct((PAD + 1, di), f32),
+                   jax.ShapeDtypeStruct((1, di), f32)],
+        compiler_params=t.cparams,
+        interpret=interpret,
+    )(x4, x4, x4, dxh_b, dxcf, dxcb, dxcf, dxcb, dpf, dpb, dpf, dpb,
+      s["winx"], s["binx"], wcf, s["bcf_"], wab, s["bab_"])
+    dxh, dwinx, dbinx, dwcf, dbcf_a, dwab, dbab_a = outs_a
+
+    dwin = jnp.concatenate([dwinx, dwinz], 1)
+    dp = (
+        dwin.astype(win.dtype),
+        None if bin_ is None else jnp.concatenate(
+            [dbinx[0], dbinz[0]]).astype(bin_.dtype),
+        dwcf.astype(wcf.dtype),
+        None if bcf is None else dbcf_a[0].astype(bcf.dtype),
+        dwab.astype(wab.dtype),
+        None if bab is None else dbab_a[0].astype(bab.dtype),
+        dxpf, ddtwf, ddtbf, dAf,
+        dDf_a[0].astype(Df.dtype),
+        dxpb, ddtwb, ddtbb, dAb,
+        dDb_a[0].astype(Db.dtype),
+        dlnw[0].astype(lnw.dtype) if (use_ln and lnw is not None)
+        else None,
+        dlnb[0].astype(lnb.dtype) if (use_ln and lnb is not None)
+        else None,
+        dwout.astype(wout.dtype),
+        None if bout is None else dbout[0].astype(bout.dtype),
+    )
+    return dxh.reshape(B, L, dm).astype(x_hat.dtype), dp
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7,
@@ -603,27 +1154,36 @@ def fused_mixer_core(x_hat, p, grid, transposed, scaling, eps, use_ln,
     """Fused FastVim mixer layer (in_proj → … → out_proj).
 
     x_hat: (B, L, d_model) normed block input. p: parameter tuple (see
-    `_reference_core`). Returns (B, L, d_model). Gradient: jax.vjp of
-    the pure-JAX reference (rematerialized)."""
+    `_reference_core`). Returns (B, L, d_model). Gradient: fused
+    adjoint kernels (FASTVIM_LF_BWD=fused, default) or jax.vjp of the
+    pure-JAX reference (FASTVIM_LF_BWD=remat, and always in the
+    recompute forward mode, which materializes no conv outputs)."""
     return _fused_fwd_impl(x_hat, p, grid, transposed, scaling, eps,
                            use_ln, dtype, scan_impl, interpret)
 
 
 def _fmc_fwd(x_hat, p, grid, transposed, scaling, eps, use_ln, dtype,
              scan_impl, interpret):
-    out = _fused_fwd_impl(x_hat, p, grid, transposed, scaling, eps,
-                          use_ln, dtype, scan_impl, interpret)
-    return out, (x_hat, p)
+    out, saved = _fused_fwd_impl(x_hat, p, grid, transposed, scaling,
+                                 eps, use_ln, dtype, scan_impl,
+                                 interpret, return_saved=True)
+    return out, (x_hat, p, saved)
 
 
 def _fmc_bwd(grid, transposed, scaling, eps, use_ln, dtype, scan_impl,
              interpret, res, g):
-    x_hat, p = res
-    _, vjp = jax.vjp(
-        lambda xh, pp: _reference_core(xh, pp, grid, transposed, scaling,
-                                       eps, use_ln, dtype, scan_impl),
-        x_hat, p)
-    return vjp(g)
+    x_hat, p, saved = res
+    mode = os.environ.get("FASTVIM_LF_BWD", "fused")
+    if saved is None or mode == "remat":
+        _, vjp = jax.vjp(
+            lambda xh, pp: _reference_core(xh, pp, grid, transposed,
+                                           scaling, eps, use_ln, dtype,
+                                           scan_impl),
+            x_hat, p)
+        return vjp(g)
+    return _fused_bwd_impl(g, x_hat, p, *saved, grid, transposed,
+                           scaling, eps, use_ln, dtype, scan_impl,
+                           interpret)
 
 
 fused_mixer_core.defvjp(_fmc_fwd, _fmc_bwd)

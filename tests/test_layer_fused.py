@@ -95,25 +95,67 @@ def test_fused_bias_scaling_noln():
                                rtol=2e-5, atol=2e-5)
 
 
-def test_fused_grad_is_reference_grad():
-    grid = (8, 8)
-    x = jax.random.normal(jax.random.PRNGKey(4), (1, 64, DM), jnp.float32)
-    p = _params(jax.random.PRNGKey(5))
-    args = (grid, False, 1.0, 1e-5, True, jnp.float32, "ref")
+def _grad_case(grid, transposed, bias, use_ln, scaling, tile=None,
+               bwd="fused", seed=4):
+    """Fused-core grads vs jax.vjp of the pure-JAX reference."""
+    H, W = grid
+    x = jax.random.normal(jax.random.PRNGKey(seed), (2, H * W, DM),
+                          jnp.float32)
+    p = _params(jax.random.PRNGKey(seed + 1), bias=bias)
+    args = (grid, transposed, scaling, 1e-5, use_ln, jnp.float32, "ref")
 
-    gf = jax.grad(lambda xx, pp: jnp.sum(
-        fused_mixer_core(xx, pp, *args, True) ** 2), argnums=(0, 1))
+    env = {"FASTVIM_LF_BWD": bwd}
+    if tile:
+        env["FASTVIM_LF_TILE"] = str(tile)
+    old = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
+    try:
+        gf = jax.grad(lambda xx, pp: jnp.sum(
+            fused_mixer_core(xx, pp, *args, True) ** 2), argnums=(0, 1))
+        gx_f, gp_f = gf(x, p)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
     gr = jax.grad(lambda xx, pp: jnp.sum(
         _reference_core(xx, pp, *args) ** 2), argnums=(0, 1))
-    gx_f, gp_f = gf(x, p)
     gx_r, gp_r = gr(x, p)
-    # output(fused) == output(reference) within fp tolerance and the
-    # cotangents flow through the same reference VJP → near-identical
+    # fp32 accumulation-order noise between the tile-sequential kernel
+    # reductions and XLA autodiff's reductions reaches ~2e-3 relative
+    # on a handful of near-zero elements; structural errors are O(1)
     np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
-                               rtol=1e-4, atol=1e-5)
+                               rtol=3e-3, atol=3e-4)
+    assert jax.tree.structure(gp_f) == jax.tree.structure(gp_r)
     for a, b in zip(jax.tree.leaves(gp_f), jax.tree.leaves(gp_r)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-5)
+                                   rtol=3e-3, atol=3e-4)
+
+
+def test_fused_grad_remat_mode():
+    _grad_case((8, 8), False, False, True, 1.0, bwd="remat")
+
+
+@pytest.mark.parametrize("transposed", [False, True])
+def test_fused_bwd_kernels_single_tile(transposed):
+    _grad_case((16, 16), transposed, False, True, 1.0)
+
+
+@pytest.mark.parametrize("transposed", [False, True])
+def test_fused_bwd_kernels_multi_tile(transposed):
+    """tile=8 forces 2+ tiles along the tiled axis — exercises the
+    cross-tile halo terms of the conv adjoint."""
+    _grad_case((16, 24) if not transposed else (24, 16), transposed,
+               False, True, 1.0, tile=8)
+
+
+def test_fused_bwd_bias_scaling_noln():
+    _grad_case((16, 16), False, True, False, 0.25, tile=8)
+
+
+def test_fused_bwd_odd_bias():
+    _grad_case((16, 16), True, True, True, 0.5, tile=8)
 
 
 def test_mixer_layer_fused_env_flag():
