@@ -380,19 +380,20 @@ class MambaMixer(nn.Module):
         # owns the whole in_proj→out_proj chain incl. both GEMMs — the
         # one fusion shape docs/PERF.md §3 says has headroom left.
         # Opt-in (FASTVIM_LAYER_FUSED=1, or "auto" for TPU-only).
-        # "auto" additionally requires a single device: pallas_call has
-        # no SPMD partitioning rule, so under a multi-chip mesh GSPMD
-        # would replicate/gather it ("1" still forces).
+        # Multi-device: pallas_call has no GSPMD partitioning rule, so
+        # under a multi-device jit the call is wrapped in a data-axis
+        # shard_map over the cached mesh (see should_use_fused).
         import os as _os
         _lf = _os.environ.get("FASTVIM_LAYER_FUSED", "0")
-        if (cache is None and row_onehot is None and _lf in ("1", "auto")
-                and (_lf == "1" or (jax.default_backend() == "tpu"
-                                    and jax.device_count() == 1))):
-            from fastvim_tpu.ops.pallas.layer_fused import fusable as _lf_ok
-            if _lf_ok(tuple(grid_shape), tuple(pool_axes), transposed,
-                      d_inner, self.d_conv, self.collapse_method):
+        if cache is None and row_onehot is None and _lf in ("1", "auto"):
+            from fastvim_tpu.ops.pallas.layer_fused import (
+                fusable as _lf_ok, should_use_fused as _lf_use)
+            _use, _lf_mesh = _lf_use(_lf, x.shape[0])
+            if _use and _lf_ok(tuple(grid_shape), tuple(pool_axes),
+                               transposed, d_inner, self.d_conv,
+                               self.collapse_method):
                 return self._layer_fused_forward(x, tuple(grid_shape),
-                                                 transposed)
+                                                 transposed, _lf_mesh)
 
         # Defaults below are the round-3 MEASURED winners (benchmarks/
         # ablate_r3_tpu.py @2048 b3): split-inproj 82.2, merge-pooled
@@ -564,12 +565,15 @@ class MambaMixer(nn.Module):
             return out, new_cache
         return out
 
-    def _layer_fused_forward(self, x: Array, grid, transposed: bool):
+    def _layer_fused_forward(self, x: Array, grid, transposed: bool,
+                             mesh=None):
         """Fused-layer path: declares the same param tree as the XLA
         path (nn.Dense in/out_proj via _DenseParams — identical names,
         shapes and init RNG) and hands everything to the two-pass
-        Pallas megakernel. Parity locked by tests/test_layer_fused.py."""
-        from fastvim_tpu.ops.pallas.layer_fused import fused_mixer_core
+        Pallas megakernel. Parity locked by tests/test_layer_fused.py.
+        ``mesh`` non-None → batch-sharded shard_map dispatch."""
+        from fastvim_tpu.ops.pallas.layer_fused import (
+            fused_mixer_core, fused_mixer_core_sharded)
 
         d_inner = self.d_inner
         win, bin_ = _DenseParams(2 * d_inner, self.bias,
@@ -593,10 +597,14 @@ class MambaMixer(nn.Module):
              fwd[2], fwd[3], fwd[4], fwd[5], fwd[6],
              bwd[2], bwd[3], bwd[4], bwd[5], bwd[6],
              ln_w, ln_b, wout, bout)
-        out = fused_mixer_core(
-            x, p, grid, bool(transposed), float(self.scaling_factor),
-            float(self.norm_eps), bool(self.use_norm_after_ssm),
-            self.dtype, self.scan_impl, jax.default_backend() != "tpu")
+        core_args = (grid, bool(transposed), float(self.scaling_factor),
+                     float(self.norm_eps), bool(self.use_norm_after_ssm),
+                     self.dtype, self.scan_impl,
+                     jax.default_backend() != "tpu")
+        if mesh is not None:
+            out = fused_mixer_core_sharded(x, p, mesh, *core_args)
+        else:
+            out = fused_mixer_core(x, p, *core_args)
         if self.init_layer_scale is not None:
             gamma = self.param(
                 "gamma",

@@ -37,11 +37,15 @@ Orientations (models/blocks.py):
   sublane relayout) plus per-column wrap corrections against the
   neighbouring columns.
 
-Backward: custom VJP re-runs the pure-JAX reference (`_reference_core`,
-exactly the mixer's XLA math) under jax.vjp — rematerialization, the
-same cost as training without the kernel. The fused path is therefore
-primarily an inference/forward optimization; training through it is
-correct but gains nothing.
+Backward: custom VJP with fused adjoint kernels (pass B then pass A
+mirrored, FASTVIM_LF_BWD=fused default) or jax.vjp of the pure-JAX
+reference (`_reference_core`, exactly the mixer's XLA math) as the
+rematerializing fallback (FASTVIM_LF_BWD=remat; always used in the
+recompute forward mode, which saves no conv outputs).
+
+Multi-device: pallas_call has no GSPMD partitioning rule, so under a
+multi-device jit the call is wrapped in a data-axis shard_map
+(``fused_mixer_core_sharded``; dispatch in ``should_use_fused``).
 
 Reference parity: mamba_simple_faster.py:269-453 defines the math (via
 the mixer); the fused kernel is locked against the XLA path by
@@ -1187,3 +1191,76 @@ def _fmc_bwd(grid, transposed, scaling, eps, use_ln, dtype, scan_impl,
 
 
 fused_mixer_core.defvjp(_fmc_fwd, _fmc_bwd)
+
+
+# ----------------------------------------------------------------------
+# multi-device dispatch: shard_map over the data axis
+# ----------------------------------------------------------------------
+
+def should_use_fused(flag: str, batch: int):
+    """Dispatch decision for FASTVIM_LAYER_FUSED=``flag``.
+
+    Returns ``(use, mesh)``. ``mesh`` non-None means: wrap the call in a
+    data-axis shard_map (``fused_mixer_core_sharded``). Needed because
+    pallas_call has no GSPMD partitioning rule — under a multi-device
+    jit the compiler would replicate/gather the kernel's operands.
+    Inside an existing shard_map (manual axes bound) the program is
+    already per-shard, so the plain call is correct.
+
+    ``flag`` semantics: "1" forces the fused path (any backend);
+    "auto" enables it on TPU when the device context supports it
+    (single device, inside shard_map, or a cached single-seq data mesh
+    that divides ``batch``).
+    """
+    if flag not in ("1", "auto"):
+        return False, None
+    from jax.sharding import get_abstract_mesh
+
+    inside_manual = bool(getattr(get_abstract_mesh(), "manual_axes", ()))
+    single = jax.device_count() == 1
+    if single or inside_manual:
+        return (flag == "1" or jax.default_backend() == "tpu"), None
+    mesh = _cached_data_mesh(batch)
+    if flag == "1":
+        return True, mesh  # forced: plain call even without a mesh
+    return (jax.default_backend() == "tpu" and mesh is not None), mesh
+
+
+def _cached_data_mesh(batch: int):
+    """The process-wide ("data","seq") mesh from parallel.mesh, if it is
+    usable for batch-sharding the fused layer: seq axis trivial (the
+    kernel owns the full token grid) and the data axis divides batch."""
+    from fastvim_tpu.parallel import mesh as pm
+
+    m = pm._MESH
+    if m is None:
+        return None
+    if m.shape.get("seq", 1) != 1:
+        return None
+    nd = m.shape.get("data", 1)
+    if nd <= 1 or batch % nd != 0:
+        return None
+    return m
+
+
+def fused_mixer_core_sharded(x_hat, p, mesh, grid, transposed, scaling,
+                             eps, use_ln, dtype, scan_impl, interpret):
+    """``fused_mixer_core`` under a data-parallel shard_map: batch
+    sharded over ``mesh``'s "data" axis, params replicated. Forward is
+    embarrassingly parallel (the kernel grids over batch); the VJP's
+    replicated-param cotangents are psummed by shard_map's transpose
+    (parity vs the unsharded call locked in tests/test_layer_fused.py).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def f(xh, pp):
+        return fused_mixer_core(xh, pp, grid, transposed, scaling, eps,
+                                use_ln, dtype, scan_impl, interpret)
+
+    return shard_map(
+        f, mesh=mesh,
+        in_specs=(P("data", None, None), P()),
+        out_specs=P("data", None, None),
+        check_vma=False,
+    )(x_hat, p)

@@ -193,3 +193,72 @@ def test_mixer_layer_fused_env_flag():
                                    atol=2e-4)
         np.testing.assert_allclose(fused_res, base_res, rtol=2e-4,
                                    atol=2e-4)
+
+
+def test_fused_sharded_matches_unsharded():
+    """fused_mixer_core_sharded (data-axis shard_map, params replicated)
+    matches the plain call — forward and grads (the VJP's replicated-
+    param cotangents must be psummed by shard_map's transpose)."""
+    from jax.sharding import Mesh
+
+    from fastvim_tpu.ops.pallas.layer_fused import fused_mixer_core_sharded
+
+    grid = (8, 8)
+    H, W = grid
+    x = jax.random.normal(jax.random.PRNGKey(11), (2, H * W, DM),
+                          jnp.float32)
+    p = _params(jax.random.PRNGKey(12))
+    args = (grid, False, 1.0, 1e-5, True, jnp.float32, "ref")
+    mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2, 1),
+                ("data", "seq"))
+
+    f = lambda xx, pp: fused_mixer_core(xx, pp, *args, True)
+    sf = lambda xx, pp: fused_mixer_core_sharded(xx, pp, mesh, *args,
+                                                 True)
+    ref = f(x, p)
+    got = jax.jit(sf)(x, p)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    gx_s, gp_s = jax.jit(jax.grad(
+        lambda xx, pp: jnp.sum(sf(xx, pp) ** 2), argnums=(0, 1)))(x, p)
+    gx_d, gp_d = jax.grad(
+        lambda xx, pp: jnp.sum(f(xx, pp) ** 2), argnums=(0, 1))(x, p)
+    # same accumulation-order tolerance as the other grad cases: the
+    # cross-shard psum reduces in a different order than XLA's single-
+    # device reduction
+    np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_d),
+                               rtol=3e-3, atol=3e-4)
+    for a, b in zip(jax.tree.leaves(gp_s), jax.tree.leaves(gp_d)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-3, atol=3e-4)
+
+
+def test_should_use_fused_dispatch():
+    """Gate logic for the multi-device fused dispatch (CPU, 8 virtual
+    devices): '1' forces; 'auto' off-TPU is off; the cached data mesh is
+    returned only when seq=1 and it divides the batch."""
+    from fastvim_tpu.ops.pallas.layer_fused import should_use_fused
+    from fastvim_tpu.parallel import mesh as pm
+
+    old = pm._MESH
+    try:
+        pm._MESH = None
+        use, m = should_use_fused("0", 4)
+        assert not use
+        use, m = should_use_fused("auto", 4)  # CPU backend
+        assert not use
+        use, m = should_use_fused("1", 4)  # forced, no mesh cached
+        assert use and m is None
+
+        pm.make_mesh(data=2, seq=1)
+        use, m = should_use_fused("1", 4)
+        assert use and m is not None and m.shape["data"] == 2
+        use, m = should_use_fused("1", 3)  # batch not divisible
+        assert use and m is None
+
+        pm.make_mesh(data=2, seq=2)  # seq-sharded: kernel owns full L
+        use, m = should_use_fused("1", 4)
+        assert use and m is None
+    finally:
+        pm._MESH = old
