@@ -21,6 +21,11 @@ from fastvim_tpu.cli.common import (
 
 def main(argv=None):
     args = base_parser(__doc__).parse_args(argv)
+    import os
+
+    # fused layer kernel: training win at fusable grids (see
+    # cli/train_classification.py); finetune is dense (no masking)
+    os.environ.setdefault("FASTVIM_LAYER_FUSED", "auto")
     cfg = load_cli_config(args, "mae")
 
     from fastvim_tpu.data import create_imagenet_loader

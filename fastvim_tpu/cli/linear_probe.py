@@ -40,6 +40,10 @@ class ProbeHead(nn.Module):
 
 def main(argv=None):
     args = base_parser(__doc__).parse_args(argv)
+    import os
+
+    # frozen-backbone forward: fused layer kernel on TPU when fusable
+    os.environ.setdefault("FASTVIM_LAYER_FUSED", "auto")
     cfg = load_cli_config(args, "mae")
 
     from fastvim_tpu.data import create_imagenet_loader

@@ -20,6 +20,13 @@ from fastvim_tpu.cli.common import (
 
 def main(argv=None):
     args = base_parser(__doc__).parse_args(argv)
+    import os
+
+    # Fused layer megakernel (ops/pallas/layer_fused.py) — measured
+    # training win at fusable shapes (benchmarks/train_fused_tpu.py:
+    # 47.1 vs 23.6 img/s @2048, fused adjoint backward); no-op where
+    # the grid fails `fusable` (e.g. 224px's 14x14).
+    os.environ.setdefault("FASTVIM_LAYER_FUSED", "auto")
     cfg = load_cli_config(args, "classification")
 
     from fastvim_tpu.data import create_imagenet_loader

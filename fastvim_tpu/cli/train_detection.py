@@ -93,10 +93,12 @@ def main(argv=None):
     p.add_argument("--eval_only", action="store_true",
                    help="checkpoint-in → box-AP-out, no training")
     args = p.parse_args(argv)
-    if args.eval_only:
-        import os
-        # inference path: fused layer kernel on TPU (layer_fused.py)
-        os.environ.setdefault("FASTVIM_LAYER_FUSED", "auto")
+    import os
+
+    # fused layer kernel for the backbone (1024px grid 64 is fusable);
+    # training backward measured 2x on the classification bench
+    # (benchmarks/train_fused_tpu.py) — applies to train and eval
+    os.environ.setdefault("FASTVIM_LAYER_FUSED", "auto")
     cfg = load_cli_config(args, "detection")
 
     from fastvim_tpu.data.detection import create_detection_loader

@@ -80,9 +80,10 @@ def main(argv=None):
                    help="iterations between mIoU evals (schedule_160k.py"
                    " CheckpointHook interval)")
     args = p.parse_args(argv)
-    if args.eval_only:
-        # inference path: fused layer kernel on TPU (layer_fused.py)
-        os.environ.setdefault("FASTVIM_LAYER_FUSED", "auto")
+    # fused layer kernel for the backbone (512px grid 32 is fusable);
+    # training backward measured 2x on the classification bench
+    # (benchmarks/train_fused_tpu.py) — applies to train and eval
+    os.environ.setdefault("FASTVIM_LAYER_FUSED", "auto")
     cfg = load_cli_config(args, "segmentation")
 
     from fastvim_tpu.data.segmentation import create_segmentation_loader
