@@ -70,12 +70,29 @@ PAD = 3  # d_conv - 1
 
 def _silu(v):
     """All-vector-operand silu (Mosaic bf16 vector.broadcast workaround,
-    see ops/pallas/fused_block.py)."""
+    see ops/pallas/fused_block.py).
+
+    Measured NEUTRAL alternatives @2048 b2 (docs/PERF.md §6): exp2
+    (exp(-v)=exp2(-v·log2e)) — exactly equal in an interleaved A/B;
+    bf16 exp (FASTVIM_LF_SILU_BF16=1) — equal within the ±6%
+    cross-process drift band. jnp.exp kept for simplicity."""
+    if os.environ.get("FASTVIM_LF_NOSILU") == "1":  # timing probe ONLY
+        return v * jnp.float32(0.25)
+    if os.environ.get("FASTVIM_LF_SILU_BF16") == "1":
+        vh = v.astype(jnp.bfloat16)
+        sh = vh / (jnp.ones_like(vh) + jnp.exp(-vh))
+        return sh.astype(v.dtype)
+    if os.environ.get("FASTVIM_LF_SILU_NATIVE") == "1":
+        # fp32 jax.nn.silu (logistic HLO) — the bf16 Mosaic
+        # vector.broadcast bug does not apply to fp32 operands
+        return jax.nn.silu(v)
     return v / (jnp.ones_like(v) + jnp.exp(-v))
 
 
 def _roll(x, shift, axis, interpret):
     if shift == 0:
+        return x
+    if os.environ.get("FASTVIM_LF_NOROLL") == "1":  # timing probe ONLY
         return x
     if interpret:
         return jnp.roll(x, shift, axis=axis)
@@ -181,6 +198,12 @@ def _conv_stage_even(xh_ref, prev_ref, next_ref, winx_ref, binx_ref,
 
     wc = wcf_ref[...].astype(f32)                        # (4, di)
     wa = wab_ref[...].astype(f32)
+    if os.environ.get("FASTVIM_LF_NOCONV") == "1":  # timing probe ONLY
+        yc = xin + bcf_ref[...].astype(f32)
+        ya = xin + bab_ref[...].astype(f32)
+        xcf = _silu(yc)
+        xcb = _silu(ya)
+        return xcf, xcb, yc, ya, xin, prev_row, next_row
     yc = None
     ya = None
     for k in range(PAD + 1):
@@ -231,6 +254,12 @@ def _conv_stage_odd(xh_ref, prev_ref, next_ref, winx_ref, binx_ref,
     # conv along the leading H axis (transposed-raster order)
     wc = wcf_ref[...].astype(f32)
     wa = wab_ref[...].astype(f32)
+    if os.environ.get("FASTVIM_LF_NOCONV") == "1":  # timing probe ONLY
+        yc = xin + bcf_ref[...].astype(f32)
+        ya = xin + bab_ref[...].astype(f32)
+        xcf = _silu(yc)
+        xcb = _silu(ya)
+        return xcf, xcb, yc, ya, xin, prev_col, next_col
     yc = None
     ya = None
     for k in range(PAD + 1):
@@ -330,7 +359,7 @@ def _merge_tail(xh_ref, yf, yb, xcf, xcb, winz_ref, binz_ref, df_ref,
         m = (m - mu) * jax.lax.rsqrt(var + jnp.float32(eps))
         m = m * lnw_ref[...].astype(jnp.float32)[None] \
             + lnb_ref[...].astype(jnp.float32)[None]
-    m = m.reshape(T, di) * (z * jax.nn.sigmoid(z))
+    m = m.reshape(T, di) * _silu(z)
     out = jnp.dot(m.astype(dt), wout_ref[...].astype(dt),
                   preferred_element_type=jnp.float32)
     out = out + bout_ref[...].astype(jnp.float32)
@@ -778,6 +807,42 @@ def _proj_scan(xp, x_proj_w, dt_w, dt_b, A_log, dtype, impl, reverse):
                           delta_softplus=True, impl=impl, reverse=reverse)
 
 
+def _proj_scan_paired(pf, pb, s, dtype):
+    """Both pooled-direction scans in ONE forward associative scan
+    (mirrors MambaMixer._paired_proj_scan, models/mixer.py:238-270):
+    the reverse branch's pooled inputs are flipped (P≈rows — tiny at
+    pooled length, unlike the measured-negative full-L variant), the
+    directions are concatenated on the channel axis with grouped B/C.
+    In the fused dispatch the scans are NOT latency-hidden (the
+    pass A → scan → pass B chain serializes; NOSCAN probe: 1.0 ms of
+    the 9.8 ms step @2048 b2), so halving the scan dispatches pays
+    where the XLA-path experiment lost."""
+    from fastvim_tpu.ops import selective_scan
+
+    r = s["dtwf"].shape[0]
+    n = s["Af"].shape[1]
+
+    def proj(xp, xw, dtw):
+        dbl = jnp.dot(xp.astype(dtype), xw.astype(dtype))
+        dt = jnp.dot(dbl[..., :r], dtw.astype(dtype))
+        return dt, dbl[..., r:r + n], dbl[..., r + n:]
+
+    dt_f, B_f, C_f = proj(pf, s["xpf"], s["dtwf"])
+    dt_b, B_b, C_b = proj(pb, s["xpb"], s["dtwb"])
+    flip = lambda t: t[:, ::-1]
+    u = jnp.concatenate([pf.astype(dtype), flip(pb.astype(dtype))], -1)
+    dt = jnp.concatenate([dt_f, flip(dt_b)], -1)
+    Bc = jnp.stack([B_f, flip(B_b)], 2)                 # (B, P, 2, n)
+    Cc = jnp.stack([C_f, flip(C_b)], 2)
+    A = -jnp.exp(jnp.concatenate(
+        [s["Af"], s["Ab"]]).astype(jnp.float32))        # (2·di, n)
+    db = jnp.concatenate([s["dtbf"], s["dtbb"]])
+    y = selective_scan(u, dt, A, Bc, Cc, D=None, delta_bias=db,
+                       delta_softplus=True, impl="assoc")
+    di = pf.shape[-1]
+    return y[..., :di], flip(y[..., di:])
+
+
 def _reference_core(x_hat, p, grid, transposed, scaling, eps, use_ln,
                     dtype, scan_impl):
     """Pure-JAX reference: exactly the mixer's XLA path for the dense
@@ -993,12 +1058,19 @@ def _fused_fwd_impl(x_hat, p, grid, transposed, scaling, eps, use_ln,
     )(x4, x4, x4, winx, binx, wcf, bcf_, wab, bab_)
     pf, pb = a_out[-2:]
 
-    yf = _proj_scan(pf, s["xpf"], s["dtwf"], s["dtbf"], s["Af"], dtype,
-                    scan_impl, False)
-    yb = _proj_scan(pb, s["xpb"], s["dtwb"], s["dtbb"], s["Ab"], dtype,
-                    scan_impl, True)
-    yf = yf.astype(dtype)
-    yb = yb.astype(dtype)
+    if os.environ.get("FASTVIM_LF_NOSCAN") == "1":  # timing probe ONLY
+        yf, yb = pf, pb
+    elif os.environ.get("FASTVIM_LF_PAIRED", "0") == "1":
+        yf, yb = _proj_scan_paired(pf, pb, s, dtype)
+        yf = yf.astype(dtype)
+        yb = yb.astype(dtype)
+    else:
+        yf = _proj_scan(pf, s["xpf"], s["dtwf"], s["dtbf"], s["Af"],
+                        dtype, scan_impl, False)
+        yb = _proj_scan(pb, s["xpb"], s["dtwb"], s["dtbb"], s["Ab"],
+                        dtype, scan_impl, True)
+        yf = yf.astype(dtype)
+        yb = yb.astype(dtype)
 
     if recompute:
         b_in_specs = [xh_spec, prev_spec, next_spec, pool_spec,
