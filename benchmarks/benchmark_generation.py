@@ -35,24 +35,38 @@ def main():
     prompt = jnp.ones((args.batch, args.promptlen), jnp.int32)
     params = model.init(jax.random.PRNGKey(0), prompt)
 
-    # warmup (compile)
-    out = generate(model, params, prompt, max_new_tokens=args.genlen,
-                   temperature=0.0)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(args.repeats):
-        t0 = time.perf_counter()
-        out = generate(model, params, prompt, max_new_tokens=args.genlen,
+    # Relay-safe timing (see bench.py): block_until_ready does not block
+    # through the remote-execution relay, so force a host transfer
+    # (int() of one element) and DIFFERENCE two generation lengths —
+    # prefill cost and the host↔device round trip cancel, leaving pure
+    # steady-state decode time. generate() is one jit program per
+    # genlen (fused prefill + lax.scan decode loop).
+    def run(genlen):
+        out = generate(model, params, prompt, max_new_tokens=genlen,
                        temperature=0.0)
-        out.block_until_ready()
-        best = min(best, time.perf_counter() - t0)
-    toks = args.batch * args.genlen
+        return int(out[0, -1])
+
+    n1, n2 = args.genlen, args.genlen * 3
+    run(n1)  # compile
+    run(n2)
+
+    def timed(genlen):
+        best = float("inf")
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            run(genlen)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = timed(n2) - timed(n1)
+    toks = args.batch * (n2 - n1)
     print(json.dumps({
         "metric": "mamba_lm_decode_tokens_per_sec",
-        "value": round(toks / best, 1),
+        "value": round(toks / dt, 1),
         "unit": "tokens/sec",
         "batch": args.batch, "promptlen": args.promptlen,
-        "genlen": args.genlen, "seconds": round(best, 3),
+        "genlen_diff": n2 - n1, "seconds": round(dt, 3),
+        "per_token_ms": round(1e3 * dt / (n2 - n1), 3),
     }))
 
 

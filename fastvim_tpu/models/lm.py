@@ -12,6 +12,7 @@ every token, states in device memory.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Optional, Tuple
 
@@ -73,9 +74,15 @@ class MambaLM(nn.Module):
         return conv_w, conv_b, x_proj, dt_w, dt_b, A_log, D
 
     @nn.compact
-    def __call__(self, x: Array, cache: Optional[Tuple] = None):
+    def __call__(self, x: Array, cache: Optional[Tuple] = None,
+                 return_cache: bool = False):
         """x: (batch, L, d_model). With ``cache`` (conv_state, ssm_state),
-        L must be 1 (incremental decode); returns (out, new_cache)."""
+        L must be 1 (incremental decode); returns (out, new_cache).
+        ``return_cache`` on the full-sequence path is the FUSED PREFILL:
+        one forward that also emits the decode cache (conv window = last
+        d_conv pre-conv activations, ssm state = the scan's last state) —
+        the reference stores the same via ``inference_params`` during its
+        prompt forward (mamba_simple.py forward + generation.py)."""
         d_inner, n, r = self.d_inner, self.d_state, self.dt_rank_
         dtype = self.dtype
         xz = nn.Dense(2 * d_inner, use_bias=False,
@@ -91,9 +98,20 @@ class MambaLM(nn.Module):
             dbl = jnp.dot(xc, x_proj.astype(dtype))
             dt = jnp.dot(dbl[..., :r], dt_w.astype(dtype))
             Bm, Cm = dbl[..., r:r + n], dbl[..., r + n:]
-            y = selective_scan(xc, dt, A, Bm, Cm, D=D, z=z,
-                               delta_bias=dt_b, delta_softplus=True)
-            new_cache = None
+            if return_cache:
+                y, last = selective_scan(
+                    xc, dt, A, Bm, Cm, D=D, z=z, delta_bias=dt_b,
+                    delta_softplus=True, return_last_state=True)
+                L = xin.shape[1]
+                win = xin[:, max(L - self.d_conv, 0):].astype(jnp.float32)
+                if L < self.d_conv:
+                    win = jnp.pad(
+                        win, ((0, 0), (self.d_conv - L, 0), (0, 0)))
+                new_cache = (win, last.astype(jnp.float32))
+            else:
+                y = selective_scan(xc, dt, A, Bm, Cm, D=D, z=z,
+                                   delta_bias=dt_b, delta_softplus=True)
+                new_cache = None
         else:
             conv_state, ssm_state = cache
             x1 = xin[:, 0]
@@ -138,9 +156,11 @@ class MambaLMHeadModel(nn.Module):
         return ((self.vocab_size + m - 1) // m) * m
 
     @nn.compact
-    def __call__(self, tokens: Array, caches=None):
+    def __call__(self, tokens: Array, caches=None, prefill: bool = False):
         """tokens (batch, L) int32 → logits (batch, L, vocab).
-        With ``caches`` (list per layer), incremental decode (L==1)."""
+        With ``caches`` (list per layer), incremental decode (L==1).
+        ``prefill=True``: full-sequence forward that also returns the
+        per-layer decode caches (fused prefill — one pass, no replay)."""
         emb = nn.Embed(self.padded_vocab, self.d_model,
                        embedding_init=nn.initializers.normal(0.02),
                        name="embedding")
@@ -158,7 +178,8 @@ class MambaLMHeadModel(nn.Module):
                 d_model=self.d_model, d_state=self.d_state,
                 n_layer=self.n_layer, dtype=self.dtype,
                 name=f"layers_{i}",
-            )(hidden, None if caches is None else caches[i])
+            )(hidden, None if caches is None else caches[i],
+              return_cache=prefill)
             new_caches.append(cache)
         w = self.param("norm_f_weight", nn.initializers.ones,
                        (self.d_model,))
@@ -166,9 +187,48 @@ class MambaLMHeadModel(nn.Module):
                           prenorm=False, rms=self.rms_norm,
                           eps=self.norm_eps, out_dtype=self.dtype)
         logits = emb.attend(hidden.astype(emb.embedding.dtype))
-        if caches is not None:
+        if caches is not None or prefill:
             return logits, new_caches
         return logits
+
+
+@functools.lru_cache(maxsize=32)
+def _decode_program(model: MambaLMHeadModel, max_new_tokens: int,
+                    temperature: float, top_k: Optional[int]):
+    """One compiled program: fused prefill + a ``lax.scan`` decode loop.
+
+    The whole generation is a single device program — the TPU-native
+    equivalent of the reference's CUDA-graph-captured steady state
+    (generation.py:282-…): no host round trip per token (critical through
+    remote-execution relays, where each dispatch costs a network hop).
+    Keyed on the (hashable) module + static sampling config.
+    """
+
+    def sample(logits, key):
+        if temperature == 0.0:
+            return jnp.argmax(logits, axis=-1)
+        scaled = (logits / temperature).astype(jnp.float32)
+        if top_k is not None:
+            vals = jax.lax.top_k(scaled, top_k)[0]
+            scaled = jnp.where(scaled < vals[:, -1:], -jnp.inf, scaled)
+        return jax.random.categorical(key, scaled, axis=-1)
+
+    def run(params, prompt, rng):
+        logits_all, caches = model.apply(params, prompt, prefill=True)
+
+        def body(carry, _):
+            logits, caches, key = carry
+            key, sub = jax.random.split(key)
+            nxt = sample(logits, sub)
+            step_logits, caches = model.apply(
+                params, nxt[:, None].astype(prompt.dtype), caches=caches)
+            return (step_logits[:, -1], caches, key), nxt
+
+        _, toks = jax.lax.scan(body, (logits_all[:, -1], caches, rng),
+                               None, length=max_new_tokens)
+        return toks.T.astype(prompt.dtype)           # (batch, T)
+
+    return jax.jit(run)
 
 
 def generate(model: MambaLMHeadModel, params, prompt: Array,
@@ -176,44 +236,13 @@ def generate(model: MambaLMHeadModel, params, prompt: Array,
              top_k: Optional[int] = None, rng: Optional[Array] = None):
     """Greedy/top-k sampling with a carried per-layer cache.
 
-    The prefill runs the full-sequence path once; each subsequent token
-    reuses one compiled single-token step (the reference achieves the same
-    steady-state with CUDA-graph capture, generation.py:282-…).
+    Fused prefill (one full-sequence forward that also emits the caches)
+    followed by an on-device ``lax.scan`` over single-token steps — the
+    entire generation is ONE jit program (vs the reference's CUDA-graph
+    steady state with a host loop, generation.py:282-…).
     """
-    batch, L = prompt.shape
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-
-    # prefill: full forward, then replay prompt through the step fn to
-    # build caches (simple and correct; a fused prefill is an optimization)
-    caches = [
-        MambaLM(d_model=model.d_model, d_state=model.d_state,
-                n_layer=model.n_layer).init_cache(batch)
-        for _ in range(model.n_layer)
-    ]
-
-    @jax.jit
-    def step(params, tok, caches):
-        logits, caches = model.apply(params, tok, caches=caches)
-        return logits[:, -1], caches
-
-    logits = None
-    for t in range(L):
-        logits, caches = step(params, prompt[:, t : t + 1], caches)
-
-    tokens = [prompt]
-    cur = None
-    for i in range(max_new_tokens):
-        if cur is not None:
-            logits, caches = step(params, cur, caches)
-        if temperature == 0.0:
-            nxt = jnp.argmax(logits, axis=-1)
-        else:
-            scaled = logits / temperature
-            if top_k is not None:
-                thresh = jnp.sort(scaled, axis=-1)[:, -top_k][:, None]
-                scaled = jnp.where(scaled < thresh, -jnp.inf, scaled)
-            rng, sub = jax.random.split(rng)
-            nxt = jax.random.categorical(sub, scaled, axis=-1)
-        cur = nxt[:, None].astype(prompt.dtype)
-        tokens.append(cur)
-    return jnp.concatenate(tokens, axis=1)
+    fn = _decode_program(model, int(max_new_tokens), float(temperature),
+                         None if top_k is None else int(top_k))
+    toks = fn(params, prompt, rng)
+    return jnp.concatenate([prompt, toks], axis=1)

@@ -86,6 +86,11 @@ def _silu(v):
         # fp32 jax.nn.silu (logistic HLO) — the bf16 Mosaic
         # vector.broadcast bug does not apply to fp32 operands
         return jax.nn.silu(v)
+    if os.environ.get("FASTVIM_LF_SILU_TANH") == "1":
+        # exact tanh form: sigmoid(v) = ½(1+tanh(v/2)) — trades the
+        # VPU divide for a multiply if Mosaic lowers tanh natively
+        half = jnp.full_like(v, 0.5)
+        return v * (half + half * jnp.tanh(v * half))
     return v / (jnp.ones_like(v) + jnp.exp(-v))
 
 

@@ -42,6 +42,57 @@ def test_incremental_decode_matches_full_forward():
                                rtol=2e-3, atol=2e-3)
 
 
+def test_fused_prefill_matches_replay():
+    """prefill=True (one full forward emitting caches) produces the same
+    caches and logits as replaying the prompt token-by-token through the
+    cached step — the handoff property the device-side decode loop rests
+    on."""
+    model = tiny_lm()
+    toks = jnp.array([[3, 7, 11, 2, 9, 4], [1, 1, 8, 8, 0, 5]], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), toks)
+
+    logits_pre, caches_pre = model.apply(params, toks, prefill=True)
+
+    from fastvim_tpu.models.lm import MambaLM
+
+    caches = [MambaLM(d_model=32, d_state=4, n_layer=2).init_cache(2)
+              for _ in range(2)]
+    logits = None
+    for t in range(toks.shape[1]):
+        logits, caches = model.apply(params, toks[:, t: t + 1],
+                                     caches=caches)
+    np.testing.assert_allclose(np.asarray(logits_pre[:, -1]),
+                               np.asarray(logits[:, -1]),
+                               rtol=2e-3, atol=2e-3)
+    for (cw_p, ss_p), (cw_r, ss_r) in zip(caches_pre, caches):
+        np.testing.assert_allclose(np.asarray(cw_p), np.asarray(cw_r),
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(ss_p), np.asarray(ss_r),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_generate_matches_stepwise_reference():
+    """The single-program (prefill + lax.scan) generate reproduces a
+    host-loop greedy decode built from the public step API."""
+    model = tiny_lm()
+    prompt = jnp.array([[5, 2, 9, 1]], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), prompt)
+
+    out = generate(model, params, prompt, max_new_tokens=5,
+                   temperature=0.0)
+
+    logits, caches = model.apply(params, prompt, prefill=True)
+    cur = logits[:, -1]
+    ref = [prompt]
+    for _ in range(5):
+        nxt = jnp.argmax(cur, axis=-1)[:, None].astype(jnp.int32)
+        ref.append(nxt)
+        step_logits, caches = model.apply(params, nxt, caches=caches)
+        cur = step_logits[:, -1]
+    np.testing.assert_array_equal(np.asarray(out),
+                                  np.asarray(jnp.concatenate(ref, 1)))
+
+
 def test_generate_shapes_and_determinism():
     model = tiny_lm()
     prompt = jnp.array([[1, 2, 3]], jnp.int32)
