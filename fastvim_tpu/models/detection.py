@@ -19,6 +19,7 @@ masks (B, G, H, W) {0,1}, gt_valid (B, G) bool.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
@@ -48,6 +49,27 @@ STAGE_STDS = ((0.1, 0.1, 0.2, 0.2), (0.05, 0.05, 0.1, 0.1),
 STAGE_WEIGHTS = (1.0, 0.5, 0.25)
 FPN_STRIDES = (4, 8, 16, 32, 64)
 ROI_STRIDES = (4, 8, 16, 32)
+
+
+def _ablate() -> str:
+    """Component-cost ablation hook for benchmarks (subtraction method,
+    like the mixer's noscan/noconv/nomerge hooks): set
+    FASTVIM_DET_ABLATE to one of
+
+      noprop   — RPN proposals replaced by a static anchor slice
+                 (removes per-level top_k + fast-NMS over ~65k anchors)
+      noassign — max-IoU assignment + random sampling replaced by a
+                 fixed arange take (removes IoU matrices + sorts)
+      noroi    — RoIAlign outputs replaced by zeros (removes the
+                 interpolation matmuls/gathers; heads still run)
+      nomask   — mask branch skipped (gt-mask gather+crop, 14x14
+                 RoIAlign, FCN mask head and its loss)
+      nobbhead — bbox heads produce zeros (removes the Shared2FC GEMMs
+                 and the cascade refinement's compute)
+
+    Benchmark-only; never set in training CLIs. Read at trace time.
+    """
+    return os.environ.get("FASTVIM_DET_ABLATE", "")
 
 
 def smooth_l1(pred: Array, target: Array, beta: float) -> Array:
@@ -229,15 +251,27 @@ class CascadeMaskRCNN(nn.Module):
         # stage in the jit program — compile time scaled with B×stages
         # (VERDICT r2 weak #2). One traced copy, batched by vmap.
         losses = {}
+        ablate = _ablate()
         rpn_rngs = jnp.stack([self.make_rng("sampler") for _ in range(B)])
 
         def rpn_one(rng, gtb, gtv, logit_i, delta_i):
-            assigned = max_iou_assign(anchors, gtb, gtv,
-                                      pos_iou_thr=0.7, neg_iou_thr=0.3,
-                                      min_pos_iou=0.3,
-                                      match_low_quality=True)
-            idx, is_pos, valid = random_sample(rng, assigned,
-                                               self.rpn_sample, 0.5)
+            if ablate == "noassign":
+                A = anchors.shape[0]
+                G = gtb.shape[0]
+                assigned = jnp.where(
+                    jnp.arange(A) < G,
+                    jnp.where(gtv[jnp.minimum(jnp.arange(A), G - 1)],
+                              jnp.minimum(jnp.arange(A), G - 1), -1), -1)
+                idx = jnp.arange(self.rpn_sample)
+                is_pos = assigned[idx] >= 0
+                valid = jnp.ones((self.rpn_sample,), bool)
+            else:
+                assigned = max_iou_assign(anchors, gtb, gtv,
+                                          pos_iou_thr=0.7, neg_iou_thr=0.3,
+                                          min_pos_iou=0.3,
+                                          match_low_quality=True)
+                idx, is_pos, valid = random_sample(rng, assigned,
+                                                   self.rpn_sample, 0.5)
             tgt = jnp.where(is_pos, 1.0, 0.0)
             logit = logit_i[idx]
             bce = jnp.maximum(logit, 0) - logit * tgt + \
@@ -248,9 +282,13 @@ class CascadeMaskRCNN(nn.Module):
             reg_t = delta_encode(anchors[idx], gtb[g])
             reg = smooth_l1(delta_i[idx], reg_t, beta=1.0 / 9.0)
             reg_l = jnp.sum(reg.sum(-1) * (is_pos & valid)) / denom
-            pb, pv = self._proposals(anchors, logit_i,
-                                     jax.lax.stop_gradient(delta_i),
-                                     slices, fast=True)
+            if ablate == "noprop":
+                pb = anchors[:self.num_proposals]
+                pv = jnp.ones((self.num_proposals,), bool)
+            else:
+                pb, pv = self._proposals(anchors, logit_i,
+                                         jax.lax.stop_gradient(delta_i),
+                                         slices, fast=True)
             return cls_l, reg_l, jax.lax.stop_gradient(pb), pv
 
         rpn_cls_l, rpn_reg_l, props, pvalid = jax.vmap(rpn_one)(
@@ -270,19 +308,37 @@ class CascadeMaskRCNN(nn.Module):
                           *feats_i):
                 cand = jnp.concatenate([props_i, gtb])
                 cand_valid = jnp.concatenate([pvalid_i, gtv])
-                assigned = max_iou_assign(
-                    cand, gtb, gtv,
-                    pos_iou_thr=STAGE_IOUS[s], neg_iou_thr=STAGE_IOUS[s],
-                    min_pos_iou=STAGE_IOUS[s], match_low_quality=False)
-                assigned = jnp.where(cand_valid, assigned, -2)
-                idx, is_pos, valid = random_sample(
-                    rng, assigned, self.rcnn_sample, 0.25)
+                if ablate == "noassign":
+                    C = cand.shape[0]
+                    G = gtb.shape[0]
+                    assigned = jnp.where(
+                        (jnp.arange(C) < G) &
+                        gtv[jnp.minimum(jnp.arange(C), G - 1)],
+                        jnp.minimum(jnp.arange(C), G - 1), -1)
+                    idx = jnp.arange(self.rcnn_sample)
+                    is_pos = assigned[idx] >= 0
+                    valid = jnp.ones((self.rcnn_sample,), bool)
+                else:
+                    assigned = max_iou_assign(
+                        cand, gtb, gtv,
+                        pos_iou_thr=STAGE_IOUS[s],
+                        neg_iou_thr=STAGE_IOUS[s],
+                        min_pos_iou=STAGE_IOUS[s],
+                        match_low_quality=False)
+                    assigned = jnp.where(cand_valid, assigned, -2)
+                    idx, is_pos, valid = random_sample(
+                        rng, assigned, self.rcnn_sample, 0.25)
                 rois = cand[idx]
                 g = jnp.clip(assigned[idx], 0)
                 lbl = jnp.where(is_pos, gtl[g], self.num_classes)
                 regt = delta_encode(rois, gtb[g], stds=stds)
-                rfeat7 = multilevel_roi_align(list(feats_i), rois, 7,
-                                              ROI_STRIDES)
+                if ablate == "noroi":
+                    rfeat7 = jnp.zeros(
+                        (self.rcnn_sample, 7, 7, feats_i[0].shape[-1]),
+                        feats_i[0].dtype)
+                else:
+                    rfeat7 = multilevel_roi_align(list(feats_i), rois, 7,
+                                                  ROI_STRIDES)
                 # mask branch on POSITIVES only (mmdet pos_rois,
                 # cascade_roi_head mask forward): the sampler caps
                 # positives at rcnn_sample*pos_fraction, so packing them
@@ -295,13 +351,21 @@ class CascadeMaskRCNN(nn.Module):
                     jnp.arange(self.rcnn_sample), mode="drop")
                 mvalid = jnp.arange(M) < (is_pos & valid).sum()
                 rois_m = rois[midx]
-                rfeat14 = multilevel_roi_align(list(feats_i), rois_m, 14,
-                                               ROI_STRIDES)
-                crop = jax.vmap(
-                    lambda m, r: roi_align(m[..., None], r[None],
-                                           self.mask_size, 1.0)[0, ..., 0]
-                )(gtm[g[midx]].astype(jnp.float32), rois_m)
-                mt = (crop > 0.5).astype(jnp.float32)
+                if ablate in ("nomask", "noroi"):
+                    rfeat14 = jnp.zeros(
+                        (M, 14, 14, feats_i[0].shape[-1]),
+                        feats_i[0].dtype)
+                    mt = jnp.zeros((M, self.mask_size, self.mask_size),
+                                   jnp.float32)
+                else:
+                    rfeat14 = multilevel_roi_align(list(feats_i), rois_m,
+                                                   14, ROI_STRIDES)
+                    crop = jax.vmap(
+                        lambda m, r: roi_align(
+                            m[..., None], r[None],
+                            self.mask_size, 1.0)[0, ..., 0]
+                    )(gtm[g[midx]].astype(jnp.float32), rois_m)
+                    mt = (crop > 0.5).astype(jnp.float32)
                 return (rois, rfeat7, rfeat14, lbl, regt, is_pos, valid,
                         mt, lbl[midx], mvalid)
 
@@ -311,8 +375,14 @@ class CascadeMaskRCNN(nn.Module):
                 gt_masks, *feats[:4])  # RoI levels only (5th is RPN-only)
 
             N = self.rcnn_sample
-            cls_logits, reg = bbox_heads[s](
-                rfeat7.reshape(B * N, *rfeat7.shape[2:]))
+            if ablate == "nobbhead":
+                cls_logits = jnp.zeros((B * N, self.num_classes + 1),
+                                       jnp.float32)
+                reg = jnp.zeros((B * N, 4), jnp.float32) + \
+                    1e-12 * rfeat7.reshape(B * N, -1)[:, :4]
+            else:
+                cls_logits, reg = bbox_heads[s](
+                    rfeat7.reshape(B * N, *rfeat7.shape[2:]))
             labels = labels_b.reshape(B * N)
             valid = valid_b.reshape(B * N)
             is_pos = pos_b.reshape(B * N)
@@ -327,22 +397,25 @@ class CascadeMaskRCNN(nn.Module):
                 jnp.sum(rl.sum(-1) * (is_pos & valid)) / denom
 
             # mask branch on this stage's positives (shared head)
-            M = rfeat14.shape[1]
-            mask_logits = mask_head(
-                rfeat14.reshape(B * M, *rfeat14.shape[2:]))
-            mpos = mvalid_b.reshape(B * M)
-            mlab = mlab_b.reshape(B * M)
-            mt = mt_b.reshape(B * M, self.mask_size, self.mask_size)
-            sel = jnp.take_along_axis(
-                mask_logits,
-                jnp.clip(mlab, 0, self.num_classes - 1)[
-                    :, None, None, None], axis=-1)[..., 0]
-            sel = sel.astype(jnp.float32)
-            mbce = jnp.maximum(sel, 0) - sel * mt + \
-                jnp.log1p(jnp.exp(-jnp.abs(sel)))
-            losses[f"s{s}_mask"] = STAGE_WEIGHTS[s] * \
-                jnp.sum(mbce.mean(axis=(1, 2)) * mpos) / \
-                jnp.maximum(mpos.sum(), 1)
+            if ablate == "nomask":
+                losses[f"s{s}_mask"] = jnp.float32(0.0)
+            else:
+                M = rfeat14.shape[1]
+                mask_logits = mask_head(
+                    rfeat14.reshape(B * M, *rfeat14.shape[2:]))
+                mpos = mvalid_b.reshape(B * M)
+                mlab = mlab_b.reshape(B * M)
+                mt = mt_b.reshape(B * M, self.mask_size, self.mask_size)
+                sel = jnp.take_along_axis(
+                    mask_logits,
+                    jnp.clip(mlab, 0, self.num_classes - 1)[
+                        :, None, None, None], axis=-1)[..., 0]
+                sel = sel.astype(jnp.float32)
+                mbce = jnp.maximum(sel, 0) - sel * mt + \
+                    jnp.log1p(jnp.exp(-jnp.abs(sel)))
+                losses[f"s{s}_mask"] = STAGE_WEIGHTS[s] * \
+                    jnp.sum(mbce.mean(axis=(1, 2)) * mpos) / \
+                    jnp.maximum(mpos.sum(), 1)
 
             # refine proposals for the next stage (class-agnostic reg)
             if s < 2:
