@@ -123,6 +123,96 @@ def bench_detection(img, batch, max_gt=16):
             "img_per_s": round(batch / dt, 2)}
 
 
+DET_ABLATE_FLAGS = ("", "noprop", "noassign", "noroi", "nomask",
+                    "nobbhead")
+
+
+def ablate_detection(img, batch, max_gt=16, n1=1, n2=3, reps=3):
+    """Head-cost attribution by subtraction: build one train-step program
+    per FASTVIM_DET_ABLATE flag (read at trace time), compile all, then
+    time them INTERLEAVED (the chip/relay drifts ±7% across hours —
+    docs/PERF.md §6; a sequential sweep would swamp small components)."""
+    from fastvim_tpu.cli.train_detection import build_model
+    from fastvim_tpu.train import TrainState, make_optimizer
+
+    rng = jax.random.PRNGKey(0)
+    progs = []
+    for flag in DET_ABLATE_FLAGS:
+        os.environ["FASTVIM_DET_ABLATE"] = flag
+        cfg = load_config("vitdet_FastVimT_coco", domain="detection",
+                          overrides=[f"img_size={img}", "dtype=bf16"])
+        model, _ = build_model(cfg)
+        x = jax.random.normal(rng, (batch, img, img, 3), jnp.float32)
+        g = dict(
+            gt_boxes=jnp.tile(jnp.asarray([[10., 10., 100., 100.]]),
+                              (batch, max_gt, 1)),
+            gt_labels=jnp.ones((batch, max_gt), jnp.int32),
+            gt_masks=jnp.ones((batch, max_gt, img, img), jnp.uint8),
+            gt_valid=jnp.ones((batch, max_gt), bool))
+        params = jax.jit(
+            lambda r_, x_, g_: model.init(
+                {"params": r_, "sampler": r_}, x_, **g_,
+                deterministic=True))(rng, x[:1],
+                                     {k: v[:1] for k, v in g.items()})
+        tx = make_optimizer(lambda s: 1e-4, weight_decay=0.05,
+                            params=params)
+        state = TrainState.create(params, tx)
+
+        def body(i, st, model=model, g=g, xshape=x.shape):
+            r = jax.random.fold_in(rng, i)
+            xi = jax.random.normal(r, xshape, jnp.float32)
+            gi = dict(g)
+            gi["gt_boxes"] = g["gt_boxes"] + jax.random.uniform(
+                r, (batch, max_gt, 4), minval=0., maxval=4.)
+            gi["gt_masks"] = (jax.random.uniform(
+                r, g["gt_masks"].shape) > 0.5).astype(jnp.uint8)
+
+            def loss_fn(p):
+                losses = model.apply(
+                    p, xi, deterministic=False,
+                    rngs={"sampler": r, "dropout": r}, **gi)
+                return losses["loss"]
+
+            loss, grads = jax.value_and_grad(loss_fn)(st.params)
+            return st.apply_gradients(grads)
+
+        @jax.jit
+        def run(state, n, body=body):
+            return lax.fori_loop(0, n, body, state)
+
+        t0 = time.time()
+        float(jax.tree.leaves(run(state, n1))[0].reshape(-1)[0])
+        print(json.dumps({"flag": flag or "baseline",
+                          "compile_s": round(time.time() - t0, 1)}),
+              flush=True)
+        progs.append((flag or "baseline", run, state))
+    os.environ["FASTVIM_DET_ABLATE"] = ""
+
+    def sync(run, state, n):
+        out = run(state, n)
+        return float(jax.tree.leaves(out)[0].reshape(-1)[0])
+
+    best = {name: [float("inf")] * 2 for name, _, _ in progs}
+    for _ in range(reps):
+        for name, run, state in progs:
+            for j, n in enumerate((n1, n2)):
+                t0 = time.perf_counter()
+                sync(run, state, n)
+                best[name][j] = min(best[name][j],
+                                    time.perf_counter() - t0)
+    out = {"task": "det_ablate", "img": img, "batch": batch}
+    base_ms = None
+    for name, _, _ in progs:
+        t1, t2 = best[name]
+        ms = 1e3 * (t2 - t1) / (n2 - n1)
+        out[name + "_ms"] = round(ms, 1)
+        if name == "baseline":
+            base_ms = ms
+        else:
+            out[name + "_delta_ms"] = round(base_ms - ms, 1)
+    return out
+
+
 def bench_segmentation(img, batch):
     from fastvim_tpu.models import create_model
     from fastvim_tpu.models.upernet import UperNetSegmentor, segmentation_loss
@@ -172,6 +262,9 @@ def main():
         print(json.dumps(bench_detection(args.img, args.batch)), flush=True)
     if args.task in ("seg", "both"):
         print(json.dumps(bench_segmentation(args.img, args.batch)),
+              flush=True)
+    if args.task == "det_ablate":
+        print(json.dumps(ablate_detection(args.img, args.batch)),
               flush=True)
 
 

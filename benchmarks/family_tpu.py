@@ -14,7 +14,7 @@ Gotchas learned here:
   channel subset per batch (cli/train_cells.py:118-124).
 - MAE pretrain memory is decoder-dominated: the masked path keeps
   full-L fp32 scan intermediates (B, L, n, d_inner); b64 base OOMs a
-  16 GB v5e. Default b32.
+  16 GB v5e; b32 still needs 19.4 G. Default b16.
 
   python benchmarks/family_tpu.py [--which mae,channel]
 """
@@ -132,9 +132,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--which", default="mae,channel")
     p.add_argument("--mae_model", default="mae_FastVim_base_dec512d2b")
-    p.add_argument("--mae_batch", type=int, default=32)
+    p.add_argument("--mae_batch", type=int, default=16)
     p.add_argument("--channel_model", default="fastchannelvim_small_ps16")
-    p.add_argument("--channel_batch", type=int, default=16)
+    p.add_argument("--channel_batch", type=int, default=8)
     p.add_argument("--img", type=int, default=224)
     args = p.parse_args()
 
