@@ -20,6 +20,7 @@ Gotchas learned here:
 """
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -48,14 +49,15 @@ def _timed(run_n, state, n1, n2, batch):
             "img_per_s": round(batch / dt, 1)}
 
 
-def bench_mae(model_name, img, batch, n1=2, n2=8):
+def bench_mae(model_name, img, batch, n1=2, n2=8, remat=False):
     """MAE pretrain step (masked path — FASTVIM_LAYER_FUSED
     self-disables; this is the scatter-pool mixer's train cost)."""
     from fastvim_tpu.models import create_model
     from fastvim_tpu.train import (TrainState, cosine_with_warmup,
                                    make_mae_train_step, make_optimizer)
 
-    model = create_model(model_name, img_size=img, dtype=jnp.bfloat16)
+    model = create_model(model_name, img_size=img, dtype=jnp.bfloat16,
+                         remat=remat)
     x0 = jax.random.normal(jax.random.PRNGKey(1), (batch, img, img, 3),
                            jnp.bfloat16)
     params = model.init(
@@ -128,6 +130,72 @@ def bench_channel(model_name, img, batch, chans=8, n1=2, n2=8):
     return {"train": train, "fwd": fwd}
 
 
+def bench_mae_remat(model_name, img):
+    """Remat A/B for MAE pretraining: the masked path keeps full-L fp32
+    scan intermediates for backward (b32 base = 19.4 GB → OOM on a
+    16 GB v5e). nn.remat over encoder blocks trades recompute FLOPs for
+    that memory — measure whether the bigger batch it unlocks nets out.
+    Interleaved per docs/PERF.md §6 (chip drifts ±7% across hours)."""
+    cases = [("b16", 16, False), ("b16_remat", 16, True),
+             ("b32_remat", 32, True), ("b64_remat", 64, True)]
+    progs = {}
+    for name, b, rm in cases:
+        try:
+            progs[name] = (b, _compile_mae(model_name, img, b, rm))
+        except Exception as e:  # OOM etc — record and move on
+            print(json.dumps({"case": name,
+                              "error": str(e)[:200]}), flush=True)
+    out = {}
+    best = {k: [float("inf")] * 2 for k in progs}
+    for _ in range(3):
+        for name, (b, (run_n, state)) in progs.items():
+            for j, n in enumerate((2, 8)):
+                t0 = time.perf_counter()
+                float(run_n(state, n)[1])
+                best[name][j] = min(best[name][j],
+                                    time.perf_counter() - t0)
+    for name, (b, _) in progs.items():
+        dt = (best[name][1] - best[name][0]) / 6
+        out[name] = {"batch": b, "step_ms": round(1e3 * dt, 2),
+                     "img_per_s": round(b / dt, 1)}
+        print(json.dumps({name: out[name]}), flush=True)
+    return out
+
+
+def _compile_mae(model_name, img, batch, remat):
+    from fastvim_tpu.models import create_model
+    from fastvim_tpu.train import (TrainState, cosine_with_warmup,
+                                   make_mae_train_step, make_optimizer)
+
+    model = create_model(model_name, img_size=img, dtype=jnp.bfloat16,
+                         remat=remat)
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (batch, img, img, 3),
+                           jnp.bfloat16)
+    params = jax.jit(functools.partial(
+        model.init, mask_ratio=0.75))(
+        {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(2)},
+        x0)
+    tx = make_optimizer(cosine_with_warmup(1.5e-4, 0.0, 100, 10),
+                        weight_decay=0.05, params=params,
+                        betas=(0.9, 0.95))
+    state = TrainState.create(params, tx)
+    step_fn = make_mae_train_step(model, mask_ratio=0.75)
+
+    @jax.jit
+    def run_n(state, n):
+        def body(i, carry):
+            st, _ = carry
+            k = jax.random.fold_in(jax.random.PRNGKey(3), i)
+            imgs = jax.random.normal(k, x0.shape, x0.dtype)
+            st, m = step_fn(st, {"image": imgs}, k)
+            return st, m["train_loss"]
+
+        return lax.fori_loop(0, n, body, (state, jnp.float32(0.0)))
+
+    float(run_n(state, 1)[1])  # compile
+    return run_n, state
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--which", default="mae,channel")
@@ -139,6 +207,9 @@ def main():
     args = p.parse_args()
 
     out = {}
+    if "mae_remat" in args.which:
+        out["mae_remat"] = bench_mae_remat(args.mae_model, args.img)
+        args.which = args.which.replace("mae_remat", "")
     if "mae" in args.which:
         out["mae_pretrain"] = {
             "model": args.mae_model, "batch": args.mae_batch,
