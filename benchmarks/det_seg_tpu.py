@@ -123,8 +123,8 @@ def bench_detection(img, batch, max_gt=16):
             "img_per_s": round(batch / dt, 2)}
 
 
-DET_ABLATE_FLAGS = ("", "noprop", "noassign", "noroi", "nomask",
-                    "nobbhead")
+DET_ABLATE_FLAGS = ("", "noprop", "noassign", "noroi", "noroibox",
+                    "nomask", "nomasktgt", "nobbhead")
 
 
 def ablate_detection(img, batch, max_gt=16, n1=1, n2=3, reps=3):

@@ -62,6 +62,10 @@ def _ablate() -> str:
                  fixed arange take (removes IoU matrices + sorts)
       noroi    — RoIAlign outputs replaced by zeros (removes the
                  interpolation matmuls/gathers; heads still run)
+      noroibox — only the bbox-head 7x7 RoIAlign zeroed (mask branch
+                 RoIAlign + target crop still run)
+      nomasktgt— only the gt-mask 28x28 target crop zeroed (both
+                 RoIAligns + heads still run)
       nomask   — mask branch skipped (gt-mask gather+crop, 14x14
                  RoIAlign, FCN mask head and its loss)
       nobbhead — bbox heads produce zeros (removes the Shared2FC GEMMs
@@ -332,7 +336,7 @@ class CascadeMaskRCNN(nn.Module):
                 g = jnp.clip(assigned[idx], 0)
                 lbl = jnp.where(is_pos, gtl[g], self.num_classes)
                 regt = delta_encode(rois, gtb[g], stds=stds)
-                if ablate == "noroi":
+                if ablate in ("noroi", "noroibox"):
                     rfeat7 = jnp.zeros(
                         (self.rcnn_sample, 7, 7, feats_i[0].shape[-1]),
                         feats_i[0].dtype)
@@ -360,12 +364,17 @@ class CascadeMaskRCNN(nn.Module):
                 else:
                     rfeat14 = multilevel_roi_align(list(feats_i), rois_m,
                                                    14, ROI_STRIDES)
-                    crop = jax.vmap(
-                        lambda m, r: roi_align(
-                            m[..., None], r[None],
-                            self.mask_size, 1.0)[0, ..., 0]
-                    )(gtm[g[midx]].astype(jnp.float32), rois_m)
-                    mt = (crop > 0.5).astype(jnp.float32)
+                    if ablate == "nomasktgt":
+                        mt = jnp.zeros(
+                            (M, self.mask_size, self.mask_size),
+                            jnp.float32)
+                    else:
+                        crop = jax.vmap(
+                            lambda m, r: roi_align(
+                                m[..., None], r[None],
+                                self.mask_size, 1.0)[0, ..., 0]
+                        )(gtm[g[midx]].astype(jnp.float32), rois_m)
+                        mt = (crop > 0.5).astype(jnp.float32)
                 return (rois, rfeat7, rfeat14, lbl, regt, is_pos, valid,
                         mt, lbl[midx], mvalid)
 

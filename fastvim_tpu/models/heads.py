@@ -23,19 +23,26 @@ Array = jax.Array
 
 
 class ChannelLayerNorm(nn.Module):
-    """LN over the channel axis of NHWC maps (LN2d, simple_fpn.py:15-32)."""
+    """LN over the channel axis of NHWC maps (LN2d, simple_fpn.py:15-32).
+
+    Stats in fp32; the output is cast back to ``dtype``. Without the
+    cast the fp32 weight/bias silently promoted every FPN level to
+    fp32, doubling the RoIAlign einsum + head GEMM traffic in bf16
+    configs (found via benchmarks/roi_tpu.py vs the det ablation)."""
 
     eps: float = 1e-6
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         dim = x.shape[-1]
         w = self.param("weight", nn.initializers.ones, (dim,))
         b = self.param("bias", nn.initializers.zeros, (dim,))
-        mu = x.mean(axis=-1, keepdims=True)
-        var = ((x - mu) ** 2).mean(axis=-1, keepdims=True)
-        y = (x - mu) * jax.lax.rsqrt(var + self.eps)
-        return y * w + b
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(axis=-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(axis=-1, keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + self.eps)
+        return (y * w + b).astype(self.dtype)
 
 
 class SimpleFPN(nn.Module):
@@ -57,7 +64,7 @@ class SimpleFPN(nn.Module):
 
         # 4× up: deconv → LN → GELU → deconv  (simple_fpn.py:58-65)
         p4 = deconv(x, c // 2, "fpn1_deconv1")
-        p4 = ChannelLayerNorm(name="fpn1_norm")(p4)
+        p4 = ChannelLayerNorm(name="fpn1_norm", dtype=self.dtype)(p4)
         p4 = jax.nn.gelu(p4)
         p4 = deconv(p4, c // 4, "fpn1_deconv2")
         p8 = deconv(x, c // 2, "fpn2_deconv")
@@ -70,11 +77,13 @@ class SimpleFPN(nn.Module):
             lat = nn.Conv(self.out_channels, kernel_size=(1, 1),
                           use_bias=False, dtype=self.dtype,
                           name=f"lateral_{i}")(feat)
-            lat = ChannelLayerNorm(name=f"lateral_norm_{i}")(lat)
+            lat = ChannelLayerNorm(name=f"lateral_norm_{i}",
+                                   dtype=self.dtype)(lat)
             out = nn.Conv(self.out_channels, kernel_size=(3, 3),
                           padding="SAME", use_bias=False, dtype=self.dtype,
                           name=f"fpn_conv_{i}")(lat)
-            out = ChannelLayerNorm(name=f"fpn_norm_{i}")(out)
+            out = ChannelLayerNorm(name=f"fpn_norm_{i}",
+                                   dtype=self.dtype)(out)
             outs.append(out)
         while len(outs) < self.num_outs:
             outs.append(nn.max_pool(outs[-1], window_shape=(1, 1),

@@ -248,7 +248,8 @@ def random_sample(rng: Array, assigned: Array, num: int,
 # --------------------------------------------------------------------
 
 def roi_align(feat: Array, rois: Array, out_size: int,
-              spatial_scale: float, sampling: int = 2) -> Array:
+              spatial_scale: float, sampling: int = 2,
+              chunk: int = 16, xfirst: bool = True) -> Array:
     """feat (H, W, C); rois (R, 4) xyxy in image coords →
     (R, out_size, out_size, C) via bilinear sampling, ``sampling``²
     samples per bin averaged."""
@@ -286,13 +287,21 @@ def roi_align(feat: Array, rois: Array, out_size: int,
 
     def chunk_align(args):
         Y, X = args
+        if xfirst:
+            # Contract W first, then H. Mathematically identical to the
+            # Y-first order but maps far better onto the MXU: the final
+            # per-roi batched matmul then has the TINY output dim (out=7)
+            # on sublanes (pad 8) and the big free dim (out·C = 1792) on
+            # lanes — the Y-first order puts out=7 on LANES, padding each
+            # 128-wide output tile 18x (benchmarks/roi_tpu.py).
+            tmp = jnp.einsum("rjw,hwc->rjhc", X, feat)
+            return jnp.einsum("rih,rjhc->rijc", Y, tmp)
         tmp = jnp.einsum("rih,hwc->riwc", Y, feat)
         return jnp.einsum("riwc,rjw->rijc", tmp, X)
 
     # chunk rois so the (chunk, out, W, C) intermediate stays bounded
     # (~512 rois x 7 x 128 x 256 f32 was ~470 MB per image-level and
     # OOM'd the cascade at batch 8)
-    chunk = 64
     if R <= chunk or R % chunk:
         return chunk_align((Ymat, Xmat))
     Yc = Ymat.reshape(R // chunk, chunk, out_size, H)
@@ -303,7 +312,8 @@ def roi_align(feat: Array, rois: Array, out_size: int,
 
 def multilevel_roi_align(feats: Sequence[Array], rois: Array,
                          out_size: int, strides: Sequence[int],
-                         finest_scale: float = 56.0) -> Array:
+                         finest_scale: float = 56.0,
+                         chunk: int = 16, xfirst: bool = True) -> Array:
     """FPN-level-routed RoIAlign (mmdet SingleRoIExtractor:
     level = floor(log2(sqrt(area)/56 + 1e-6)) clamped).
 
@@ -315,7 +325,7 @@ def multilevel_roi_align(feats: Sequence[Array], rois: Array,
     lvl = jnp.floor(jnp.log2(scale / finest_scale + 1e-6))
     lvl = jnp.clip(lvl, 0, len(feats) - 1).astype(jnp.int32)
     outs = jnp.stack([
-        roi_align(f, rois, out_size, 1.0 / s)
+        roi_align(f, rois, out_size, 1.0 / s, chunk=chunk, xfirst=xfirst)
         for f, s in zip(feats, strides)])  # (L, R, o, o, C)
     sel = jax.nn.one_hot(lvl, len(feats), dtype=outs.dtype)  # (R, L)
     return jnp.einsum("lrijc,rl->rijc", outs, sel)
