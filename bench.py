@@ -145,6 +145,13 @@ def sweep(tol: float = 0.05):
                 print(json.dumps({"img": img, "batch": b,
                                   "error": str(e)[:120]}))
         valid = {b: r for b, r in rates.items() if r}
+        if not valid:  # every batch failed — report, don't crash
+            ok = False
+            print(json.dumps({"img": img, "pinned_batch": pin,
+                              "sweep": rates, "best_batch": None,
+                              "pin_within_tol": False,
+                              "error": "all batches failed"}))
+            continue
         best_b = max(valid, key=valid.get)
         pin_ok = valid.get(pin, 0.0) >= (1 - tol) * valid[best_b]
         ok &= pin_ok

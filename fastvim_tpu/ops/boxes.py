@@ -259,9 +259,12 @@ def roi_align(feat: Array, rois: Array, out_size: int,
     bw = jnp.maximum(x2 - x1, 1e-6)
     bh = jnp.maximum(y2 - y1, 1e-6)
     # sample centers: out_size*sampling points per axis, aligned=True
-    # (half-pixel offset convention)
+    # (half-pixel offset convention). Coordinates and hat weights are
+    # computed in fp32 regardless of feat dtype (bf16 steps shift sample
+    # positions by up to ~1.7e-3·bh px); only the final interpolation
+    # matrices are cast to the feat dtype for the MXU contraction.
     s = out_size * sampling
-    steps = (jnp.arange(s, dtype=feat.dtype) + 0.5) / s
+    steps = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
     ys = y1[:, None] + steps[None, :] * bh[:, None] - 0.5  # (R, s)
     xs = x1[:, None] + steps[None, :] * bw[:, None] - 0.5
 
@@ -276,14 +279,18 @@ def roi_align(feat: Array, rois: Array, out_size: int,
     ys = jnp.clip(ys, 0, H - 1)
     xs = jnp.clip(xs, 0, W - 1)
     R = rois.shape[0]
-    dt = feat.dtype
-    iy = jnp.arange(H, dtype=dt)
-    ix = jnp.arange(W, dtype=dt)
+    iy = jnp.arange(H, dtype=jnp.float32)
+    ix = jnp.arange(W, dtype=jnp.float32)
     Ymat = jnp.maximum(0, 1 - jnp.abs(ys[..., None] - iy))  # (R, s, H)
     Xmat = jnp.maximum(0, 1 - jnp.abs(xs[..., None] - ix))  # (R, s, W)
-    # fold the in-bin average: (R, out, H) / (R, out, W)
-    Ymat = Ymat.reshape(R, out_size, sampling, H).mean(axis=2)
-    Xmat = Xmat.reshape(R, out_size, sampling, W).mean(axis=2)
+    # fold the in-bin average: (R, out, H) / (R, out, W). Cast to the
+    # feat dtype HERE — fp32 hat matrices would otherwise promote a
+    # bf16 feat back to fp32 inside the einsums, doubling the dominant
+    # detection-step traffic (code-review find, round 3).
+    Ymat = Ymat.reshape(R, out_size, sampling, H).mean(axis=2).astype(
+        feat.dtype)
+    Xmat = Xmat.reshape(R, out_size, sampling, W).mean(axis=2).astype(
+        feat.dtype)
 
     def chunk_align(args):
         Y, X = args
@@ -301,13 +308,22 @@ def roi_align(feat: Array, rois: Array, out_size: int,
 
     # chunk rois so the (chunk, out, W, C) intermediate stays bounded
     # (~512 rois x 7 x 128 x 256 f32 was ~470 MB per image-level and
-    # OOM'd the cascade at batch 8)
-    if R <= chunk or R % chunk:
+    # OOM'd the cascade at batch 8). Non-divisible R is PADDED up, not
+    # silently unchunked — eval's max_per_img=100 with chunk=16 would
+    # otherwise rematerialize the unbounded intermediate.
+    if R <= chunk:
         return chunk_align((Ymat, Xmat))
-    Yc = Ymat.reshape(R // chunk, chunk, out_size, H)
-    Xc = Xmat.reshape(R // chunk, chunk, out_size, W)
+    pad = (-R) % chunk
+    if pad:
+        Ymat = jnp.concatenate(
+            [Ymat, jnp.zeros((pad,) + Ymat.shape[1:], Ymat.dtype)])
+        Xmat = jnp.concatenate(
+            [Xmat, jnp.zeros((pad,) + Xmat.shape[1:], Xmat.dtype)])
+    n = (R + pad) // chunk
+    Yc = Ymat.reshape(n, chunk, out_size, H)
+    Xc = Xmat.reshape(n, chunk, out_size, W)
     out = jax.lax.map(chunk_align, (Yc, Xc))
-    return out.reshape(R, out_size, out_size, C)
+    return out.reshape(n * chunk, out_size, out_size, C)[:R]
 
 
 def multilevel_roi_align(feats: Sequence[Array], rois: Array,

@@ -222,7 +222,7 @@ def selective_scan(
         # (rel err up to 1.1 vs fp32 sequential ref; fine at <=2048). The
         # "auto" dispatch routes long TPU scans to Pallas; a user forcing
         # impl="assoc" would hit it silently — warn loudly instead.
-        if (reverse and u.shape[1] >= 2048
+        if (reverse and u.shape[1] >= 4096
                 and jax.default_backend() == "tpu"):
             import warnings
 

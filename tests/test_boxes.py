@@ -185,3 +185,30 @@ def test_fast_nms_max_out_truncation():
     assert valid.sum() == 3
     # highest three scores in order
     np.testing.assert_array_equal(np.asarray(idx[:3]), [1, 3, 4])
+
+
+def test_roi_align_bf16_stays_bf16_and_pad_chunking_exact():
+    """Round-3 code-review regressions: (a) fp32 hat matrices must not
+    promote a bf16 feat back to fp32 (doubles the dominant det-step
+    traffic); (b) non-divisible R must be pad-chunked, not silently
+    unchunked, and must match the unchunked result exactly."""
+    from fastvim_tpu.ops.boxes import roi_align
+
+    rng = np.random.RandomState(0)
+    feat = jnp.asarray(rng.randn(32, 32, 8), jnp.bfloat16)
+    R = 100  # not a multiple of chunk=16 (eval's max_per_img)
+    xy = rng.uniform(2, 20, (R, 2))
+    wh = rng.uniform(4, 10, (R, 2))
+    rois = jnp.asarray(np.concatenate([xy, xy + wh], -1), jnp.float32)
+
+    out = roi_align(feat, rois, 7, 1.0, chunk=16)
+    assert out.dtype == jnp.bfloat16
+    assert out.shape == (R, 7, 7, 8)
+    ref = roi_align(feat, rois, 7, 1.0, chunk=R)  # unchunked
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32))
+
+    # fp32 path: coords computed fp32 → exact vs fp32 reference
+    feat32 = feat.astype(jnp.float32)
+    out32 = roi_align(feat32, rois, 7, 1.0, chunk=16)
+    assert out32.dtype == jnp.float32

@@ -88,8 +88,9 @@ def test_seq_sharded_high_res_forward():
 
 
 def test_assoc_reverse_long_l_warns(monkeypatch):
-    """Forcing impl='assoc' with reverse=True at L>=2048 on TPU is the
-    measured numeric hazard (CLAUDE.md round-2) — must warn loudly."""
+    """Forcing impl='assoc' with reverse=True at L>=4096 on TPU is the
+    measured numeric hazard (CLAUDE.md round-2) — must warn loudly
+    (L<=2048 is measured-fine and must stay silent)."""
     import warnings
 
     import jax
@@ -97,7 +98,7 @@ def test_assoc_reverse_long_l_warns(monkeypatch):
 
     from fastvim_tpu.ops.scan import selective_scan
 
-    b, L, d, n = 1, 2048, 8, 4
+    b, L, d, n = 1, 4096, 8, 4
     u = jnp.ones((b, L, d), jnp.float32)
     dt = jnp.full((b, L, d), 0.1)
     A = -jnp.ones((d, n))
