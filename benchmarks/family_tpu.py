@@ -137,18 +137,28 @@ def bench_mae_remat(model_name, img):
     that memory — measure whether the bigger batch it unlocks nets out.
     Interleaved per docs/PERF.md §6 (chip drifts ±7% across hours)."""
     cases = [("b16", 16, False), ("b16_remat", 16, True),
-             ("b32_remat", 32, True), ("b64_remat", 64, True)]
+             ("b32_remat", 32, True)]
+    # ONE shared TrainState for every case: the state (params + Adam
+    # moments, ~1.8 GB fp32 for MAE-base) is batch-independent and
+    # remat does not change the param tree — three per-case states
+    # plus the b32 step's 4.2 GB temp OOM'd a 16 GB v5e on the first
+    # two attempts (once via leaked failed-compile state, once via
+    # 3x resident states in the interleaved loop).
+    state = _make_mae_state(model_name, img)
     progs = {}
     for name, b, rm in cases:
         try:
-            progs[name] = (b, _compile_mae(model_name, img, b, rm))
-        except Exception as e:  # OOM etc — record and move on
+            progs[name] = (b, _compile_mae(model_name, img, b, rm,
+                                           state))
+        except Exception as e:  # OOM etc — record, release, move on
             print(json.dumps({"case": name,
                               "error": str(e)[:200]}), flush=True)
+            import gc
+            gc.collect()
     out = {}
     best = {k: [float("inf")] * 2 for k in progs}
     for _ in range(3):
-        for name, (b, (run_n, state)) in progs.items():
+        for name, (b, run_n) in progs.items():
             for j, n in enumerate((2, 8)):
                 t0 = time.perf_counter()
                 float(run_n(state, n)[1])
@@ -162,15 +172,13 @@ def bench_mae_remat(model_name, img):
     return out
 
 
-def _compile_mae(model_name, img, batch, remat):
+def _make_mae_state(model_name, img):
     from fastvim_tpu.models import create_model
     from fastvim_tpu.train import (TrainState, cosine_with_warmup,
                                    make_mae_train_step, make_optimizer)
 
-    model = create_model(model_name, img_size=img, dtype=jnp.bfloat16,
-                         remat=remat)
-    x0 = jax.random.normal(jax.random.PRNGKey(1), (batch, img, img, 3),
-                           jnp.bfloat16)
+    model = create_model(model_name, img_size=img, dtype=jnp.bfloat16)
+    x0 = jnp.zeros((2, img, img, 3), jnp.bfloat16)
     params = jax.jit(functools.partial(
         model.init, mask_ratio=0.75))(
         {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(2)},
@@ -178,7 +186,16 @@ def _compile_mae(model_name, img, batch, remat):
     tx = make_optimizer(cosine_with_warmup(1.5e-4, 0.0, 100, 10),
                         weight_decay=0.05, params=params,
                         betas=(0.9, 0.95))
-    state = TrainState.create(params, tx)
+    return TrainState.create(params, tx)
+
+
+def _compile_mae(model_name, img, batch, remat, state):
+    from fastvim_tpu.models import create_model
+    from fastvim_tpu.train import make_mae_train_step
+
+    model = create_model(model_name, img_size=img, dtype=jnp.bfloat16,
+                         remat=remat)
+    shape = (batch, img, img, 3)
     step_fn = make_mae_train_step(model, mask_ratio=0.75)
 
     @jax.jit
@@ -186,14 +203,14 @@ def _compile_mae(model_name, img, batch, remat):
         def body(i, carry):
             st, _ = carry
             k = jax.random.fold_in(jax.random.PRNGKey(3), i)
-            imgs = jax.random.normal(k, x0.shape, x0.dtype)
+            imgs = jax.random.normal(k, shape, jnp.bfloat16)
             st, m = step_fn(st, {"image": imgs}, k)
             return st, m["train_loss"]
 
         return lax.fori_loop(0, n, body, (state, jnp.float32(0.0)))
 
     float(run_n(state, 1)[1])  # compile
-    return run_n, state
+    return run_n
 
 
 def main():

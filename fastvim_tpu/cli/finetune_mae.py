@@ -47,7 +47,8 @@ def main(argv=None):
         drop_path_rate=cfg.get("drop_path_rate", 0.3),
         scaling_factor=cfg.get("scaling_factor", 0.25),
         scanpath_type=cfg.get("scanpath_type", "rowwise"),
-        collapse_method=cfg.get("collapse_method", "mean"))
+        collapse_method=cfg.get("collapse_method", "mean"),
+        remat=cfg.get("remat", False))  # fit lever for Huge-scale
 
     train_loader = create_imagenet_loader(
         cfg["data"].get("dir"), "train", cfg["batch_size"],

@@ -40,7 +40,12 @@ def main(argv=None):
         scanpath_type=cfg.get("scanpath_type", "rowwise"),
         rotate_every_block=cfg.get("rotate_every_block", True),
         collapse_method=cfg.get("collapse_method", "mean"),
-        use_norm_after_ssm=cfg.get("use_norm_after_ssm", True))
+        use_norm_after_ssm=cfg.get("use_norm_after_ssm", True),
+        # opt-in fit lever for Huge-scale/long-L (measured NEGATIVE for
+        # throughput at base/224: 92.2 img/s b16 vs 80.5 b16-remat vs
+        # 60.2 b32-remat on 1xv5e — enable only when the batch doesn't
+        # fit at all; benchmarks/family_tpu.py bench_mae_remat)
+        remat=cfg.get("remat", False))
 
     loader = create_imagenet_loader(
         cfg["data"].get("dir"), "train", cfg["batch_size"],

@@ -49,7 +49,8 @@ def main(argv=None):
         scanpath_type=cfg.get("scanpath_type", "rowwise"),
         rotate_every_block=cfg.get("rotate_every_block", True),
         collapse_method=cfg.get("collapse_method", "mean"),
-        use_norm_after_ssm=cfg.get("use_norm_after_ssm", True))
+        use_norm_after_ssm=cfg.get("use_norm_after_ssm", True),
+        remat=cfg.get("remat", False))  # fit lever for Huge-scale
 
     train_loader = create_imagenet_loader(
         cfg["data"].get("dir"), "train", cfg["batch_size"],

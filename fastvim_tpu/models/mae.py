@@ -324,8 +324,10 @@ class MaskedAutoencoderVim(nn.Module):
             **(self.ssm_cfg or {}),
         )
         residual = None
+        dec_cls = (nn.remat(Block, static_argnums=(3,))
+                   if self.remat else Block)
         for i in range(self.decoder_depth):
-            x, residual = Block(
+            x, residual = dec_cls(
                 dim=self.decoder_embed_dim, layer_idx=i,
                 token_size=(self.grid, self.grid),
                 mixer_kwargs=mixer_kwargs, rotate_every_block=False,

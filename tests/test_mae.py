@@ -108,3 +108,26 @@ def test_mae_grads_finite():
     g = jax.grad(loss_fn)(params)
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+
+
+def test_mae_remat_parity():
+    """remat=True (encoder + decoder blocks rematerialized) must be a
+    pure memory/FLOPs tradeoff: identical loss and identical grads to
+    the remat=False model with the same params and masking noise."""
+    model = tiny_mae()
+    model_r = tiny_mae(remat=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    params = model.init({"params": jax.random.PRNGKey(1),
+                         "mask": jax.random.PRNGKey(2)}, x)
+
+    def loss_fn(m, p):
+        loss, _, _ = m.apply(p, x, rngs={"mask": jax.random.PRNGKey(3)})
+        return loss
+
+    (l0, g0), (l1, g1) = (jax.value_and_grad(
+        lambda p, m=m: loss_fn(m, p))(params) for m in (model, model_r))
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
