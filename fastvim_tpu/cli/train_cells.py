@@ -53,7 +53,8 @@ def main(argv=None):
         drop_path_rate=cfg.get("drop_path_rate", 0.05),
         scan_order=cfg.get("scan_order", "Channel-First"),
         scanpath_type=cfg.get("scanpath_type", "rowwise"),
-        collapse_method=cfg.get("collapse_method", "mean"))
+        collapse_method=cfg.get("collapse_method", "mean"),
+        remat=cfg.get("remat", False))  # fit lever (ps8 × many channels)
 
     manifest = cfg["data"].get("manifest")
     if manifest:

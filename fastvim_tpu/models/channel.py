@@ -112,6 +112,7 @@ class ChannelVisionMamba(nn.Module):
     collapse_method: str = "mean"
     compress_2d: bool = False  # the "_2dcompress" variant
     scan_impl: str = "auto"
+    remat: bool = False  # rematerialize blocks (fit lever; ps8×C is long)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -166,6 +167,8 @@ class ChannelVisionMamba(nn.Module):
         inter_dpr = [0.0] + dpr[:-1] if self.depth > 1 else [0.0]
 
         hidden, residual = tokens, None
+        block_cls = (nn.remat(Block, static_argnums=(3,))
+                     if self.remat else Block)
         for i in range(self.depth):
             rotate = None  # default odd-layer schedule
             if self.compress_2d:
@@ -184,7 +187,7 @@ class ChannelVisionMamba(nn.Module):
                     pool_axes = (1,)  # pool cols of (rows, cols, C)
                 else:
                     pool_axes = (2,)  # pool cols of (C, rows, cols)
-            hidden, residual = Block(
+            hidden, residual = block_cls(
                 dim=self.embed_dim, layer_idx=i, token_size=grid,
                 mixer_kwargs=mixer_kwargs, pool_axes=pool_axes,
                 transpose_axes=transpose_axes,

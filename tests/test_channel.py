@@ -97,3 +97,25 @@ def test_pool_grid_channel_first_matches_reference_reshape():
     want_bc = np.repeat(y.reshape(B, rows, 1, C, d), cols,
                         axis=2).reshape(B, -1, d)
     np.testing.assert_allclose(np.asarray(bc), want_bc, rtol=1e-6, atol=1e-6)
+
+
+def test_channel_remat_parity():
+    """remat=True must be numerically identical (fwd + grads) to the
+    plain block loop — it only trades recompute for memory."""
+    model = tiny_channel()
+    model_r = tiny_channel(remat=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 3))
+    cid = jnp.arange(3)
+    params = model.init(jax.random.PRNGKey(1), x, cid)
+
+    def loss_fn(m, p):
+        out = m.apply(p, x, channel_ids=cid)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    (l0, g0), (l1, g1) = (jax.value_and_grad(
+        lambda p, m=m: loss_fn(m, p))(params) for m in (model, model_r))
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
