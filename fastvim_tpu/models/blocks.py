@@ -84,16 +84,37 @@ class Block(nn.Module):
         # other grid axis. Two full-HBM relayouts per odd block gone
         # (measured ~13% of the 2048px forward).
         mixer_fields = MambaMixer.__dataclass_fields__
+        collapse_ok = kwargs.get(
+            "collapse_method",
+            mixer_fields["collapse_method"].default) in ("mean", "max")
+        fused_off = kwargs.get(
+            "fused_kernels",
+            mixer_fields["fused_kernels"].default) == "never"
         transposed = (
             rotated and len(grid) == 2
             and self.transpose_axes == (0, 1)
             and self.pool_axes is None
-            and kwargs.get(
-                "collapse_method",
-                mixer_fields["collapse_method"].default) in ("mean", "max")
-            and kwargs.get(
-                "fused_kernels",
-                mixer_fields["fused_kernels"].default) == "never")
+            and collapse_ok and fused_off)
+        # ChannelVim Channel-First (rows, cols, C): the rotated raster is
+        # (col, row, ch) — a shift along it is a C-axis shift with a
+        # one-row wrap, so the odd-layer conv CAN run flip-free too
+        # (ops/conv.channel_grid_dual_conv1d; needs C ≥ conv width).
+        # MEASURED NEGATIVE on v5e (interleaved, @224 ps16 C=8 b8):
+        # flip-free 87.8 ms vs materialized rotate 83.1 ms. The two
+        # transposes are ~0.4 ms of bytes — the odd-layer overhead is
+        # schedule/fusion breakage, which the C-axis (sublane) shift
+        # concat trees trigger just as badly. Kept opt-in
+        # (FASTVIM_CHANNEL_FLIPFREE=1), parity-locked by
+        # tests/test_channel.py::test_channel_flipfree_rotated_conv_parity.
+        import os
+        d_conv = kwargs.get("d_conv", mixer_fields["d_conv"].default)
+        if (rotated and not transposed and len(grid) == 3
+                and self.transpose_axes == (0, 1)
+                and self.pool_axes == (1,)
+                and grid[2] >= d_conv
+                and collapse_ok and fused_off
+                and os.environ.get("FASTVIM_CHANNEL_FLIPFREE", "0") == "1"):
+            transposed = True
         mixer = MambaMixer(
             d_model=self.dim, dtype=self.dtype, name="mixer", **kwargs)
         if transposed:

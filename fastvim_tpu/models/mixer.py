@@ -35,6 +35,7 @@ from fastvim_tpu.ops import causal_conv1d, layer_norm, selective_scan
 from fastvim_tpu.ops.conv import (
     anticausal_conv1d,
     causal_conv1d_update,
+    channel_grid_dual_conv1d,
     dual_conv1d,
     grid_dual_conv1d,
 )
@@ -122,6 +123,11 @@ class MambaMixer(nn.Module):
     n_layer: int = 24
     norm_eps: float = 1e-5
     scan_impl: str = "auto"
+    # "auto" Pallas threshold override (TPU only; None → 512). The
+    # channel family sets 64: its pooled scans are fully exposed and
+    # Pallas measured 5.3x faster there (benchmarks/channel_scan_ab_tpu.py);
+    # dense pooled scans overlap XLA streams and must stay assoc.
+    pallas_min_l: Optional[int] = None
     # Fused Pallas block kernels: "never" (default — the XLA-fused path
     # currently measures faster end-to-end; see CLAUDE.md), "auto"
     # (enable on TPU where shapes allow), "always" (force, interpret off
@@ -233,7 +239,8 @@ class MambaMixer(nn.Module):
         A = -jnp.exp(A_log.astype(jnp.float32))
         return selective_scan(xp.astype(dtype), dt, A, Bm, Cm, D=None,
                               delta_bias=dt_b, delta_softplus=True,
-                              impl=self.scan_impl, reverse=scan_reverse)
+                              impl=self.scan_impl, reverse=scan_reverse,
+                              pallas_min_l=self.pallas_min_l)
 
     def _paired_proj_scan(self, xp_f: Array, xp_b: Array, fwd, bwd):
         """Both direction scans in ONE associative scan (round-3
@@ -449,8 +456,14 @@ class MambaMixer(nn.Module):
             if "noconv" in _abl:
                 xc_f = xc_b = jax.nn.silu(xin)
             elif transposed:
-                xc_f, xc_b = grid_dual_conv1d(*conv_args, grid_shape,
-                                              axis=0)
+                if len(grid_shape) == 3:
+                    # ChannelVim Channel-First rotated layer, flip-free
+                    # (ops/conv.channel_grid_dual_conv1d)
+                    xc_f, xc_b = channel_grid_dual_conv1d(*conv_args,
+                                                          grid_shape)
+                else:
+                    xc_f, xc_b = grid_dual_conv1d(*conv_args, grid_shape,
+                                                  axis=0)
             else:
                 # raster-order conv: the flat shifted-add form measures
                 # FASTER than the 2-D (1, width) conv op for the

@@ -261,6 +261,87 @@ def transposed_dual_conv1d(x, weight_c, bias_c, weight_a, bias_a, grid,
                             axis=0, activation=activation)
 
 
+def channel_grid_dual_conv1d(
+    x: Array,
+    weight_c: Array, bias_c: Optional[Array],
+    weight_a: Array, bias_a: Optional[Array],
+    grid: tuple,
+    activation: Optional[str] = "silu",
+) -> tuple:
+    """Causal + anticausal depthwise convs along the ROTATED raster of a
+    Channel-First 3-D token grid, computed in the UNROTATED layout.
+
+    ChannelVim's odd layers swap the two spatial axes of the
+    (rows, cols, C) grid (models_channel_mamba_faster.py:296-331 rotates
+    the sequence); materializing that swap costs two full-HBM relayouts
+    per odd block — the exact cost the 2-D dense path already eliminated
+    (ops/conv.grid_dual_conv1d). This is the 3-D Channel-First
+    equivalent: the rotated raster enumerates (col, row, ch) with ch
+    fastest, so a shift by ``s ≤ C-1`` positions along the rotated
+    sequence is, in unrotated layout, a shift along the C axis with a
+    one-row wrap (and a one-column wrap at row 0) — all static slices
+    and concats, no transposes.
+
+    Requires C ≥ conv width (taps wrap at most one row); callers fall
+    back to the materialized-rotation path for C < width (HCS buckets
+    with 1-3 channels). Exactly equal to
+    rotate → dual_conv1d → unrotate — locked by tests/test_ops.py.
+    """
+    width, d = weight_c.shape
+    B, L, _ = x.shape
+    H, W, C = grid
+    assert H * W * C == L, (grid, L)
+    assert C >= width, (C, width)
+    xg = x.reshape(B, H, W, C, d)
+    pad = width - 1
+
+    def back_shift(s):
+        """x shifted s positions back along the rotated (c, r, ch) order,
+        zeros before the global sequence start."""
+        if s == 0:
+            return xg
+        core = xg[:, :, :, : C - s, :]                 # ch-s, same row
+        wrap_rows = xg[:, : H - 1, :, C - s:, :]       # row r-1, rows≥1
+        # row 0 wraps to the previous COLUMN's last row (rotated order
+        # runs columns outermost); zeros at (r=0, c=0) = sequence start
+        wrap_r0 = jnp.pad(xg[:, H - 1:, : W - 1, C - s:, :],
+                          ((0, 0), (0, 0), (1, 0), (0, 0), (0, 0)))
+        wrap = jnp.concatenate([wrap_r0, wrap_rows], axis=1)
+        return jnp.concatenate([wrap, core], axis=3)
+
+    def fwd_shift(s):
+        """x shifted s positions forward along the rotated order."""
+        if s == 0:
+            return xg
+        core = xg[:, :, :, s:, :]                      # ch+s, same row
+        wrap_rows = xg[:, 1:, :, :s, :]                # row r+1, rows<H-1
+        wrap_rH = jnp.pad(xg[:, :1, 1:, :s, :],        # last row → next col
+                          ((0, 0), (0, 0), (0, 1), (0, 0), (0, 0)))
+        wrap = jnp.concatenate([wrap_rows, wrap_rH], axis=1)
+        return jnp.concatenate([core, wrap], axis=3)
+
+    yc = None
+    ya = None
+    for k in range(width):
+        # causal: y[t] += w_c[k]·x[t-(w-1)+k] → back shift s = w-1-k
+        tc = back_shift(pad - k) * weight_c[k][None, None, None, None, :]
+        yc = tc if yc is None else yc + tc
+        # anticausal: y[t] += w_a[w-1-j]·x[t+j] → forward shift j = k
+        ta = fwd_shift(k) * weight_a[width - 1 - k][None, None, None,
+                                                    None, :]
+        ya = ta if ya is None else ya + ta
+    if bias_c is not None:
+        yc = yc + bias_c[None, None, None, None, :]
+    if bias_a is not None:
+        ya = ya + bias_a[None, None, None, None, :]
+    if activation == "silu":
+        yc = jax.nn.silu(yc)
+        ya = jax.nn.silu(ya)
+    elif activation is not None:
+        raise ValueError(f"unknown activation {activation!r}")
+    return yc.reshape(B, L, d), ya.reshape(B, L, d)
+
+
 def causal_conv1d_update(
     x: Array, conv_state: Array, weight: Array,
     bias: Optional[Array] = None, activation: Optional[str] = "silu",

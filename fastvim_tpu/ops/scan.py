@@ -185,6 +185,7 @@ def selective_scan(
     u, delta, A, B, C,
     D=None, z=None, delta_bias=None, delta_softplus=False,
     return_last_state=False, impl: str = "auto", reverse: bool = False,
+    pallas_min_l=None,
 ):
     """Dispatching entry point.
 
@@ -204,7 +205,18 @@ def selective_scan(
         # lose to XLA's overlapped schedule. Keep assoc for short scans.
         import os
 
-        min_l = int(os.environ.get("FASTVIM_PALLAS_MIN_L", "512"))
+        # Per-CALLER override (pallas_min_l): the right threshold depends
+        # on what the scan can hide behind. Dense FastVim @2048 pooled
+        # scans (L=128) OVERLAP the large full-length elementwise
+        # streams — Pallas there regressed 86.3→69.8 img/s. ChannelVim's
+        # pooled scans (L=112, d_inner=768) have a full-L stream SMALLER
+        # than one scan temp, so the assoc sweeps are fully exposed —
+        # Pallas measured 5.3x faster fwd (15.7 vs 82.6 ms @224 ps16 C=8
+        # b8, interleaved; benchmarks/channel_scan_ab_tpu.py). The env
+        # var stays as the global experiment override.
+        env = os.environ.get("FASTVIM_PALLAS_MIN_L")
+        min_l = (int(env) if env is not None else
+                 pallas_min_l if pallas_min_l is not None else 512)
         use_pallas = (
             on_tpu
             and L >= min_l

@@ -119,3 +119,30 @@ def test_channel_remat_parity():
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=1e-6)
+
+
+def test_channel_flipfree_rotated_conv_parity(monkeypatch):
+    """Channel-First odd layers run the rotated-raster conv flip-free
+    (ops/conv.channel_grid_dual_conv1d) — must match the materialized
+    rotate → conv → unrotate path exactly, fwd and grads."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 5))
+    cid = jnp.arange(5)
+
+    def run(flipfree):
+        monkeypatch.setenv("FASTVIM_CHANNEL_FLIPFREE",
+                           "1" if flipfree else "0")
+        model = tiny_channel(depth=4)  # layers 1,3 rotated
+        params = model.init(jax.random.PRNGKey(1), x, cid)
+
+        def loss_fn(p):
+            out = model.apply(p, x, channel_ids=cid)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    (l0, g0), (l1, g1) = run(False), run(True)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)

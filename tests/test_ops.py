@@ -192,3 +192,37 @@ def test_grid_dual_conv_axis1_equals_flat():
         np.testing.assert_allclose(
             np.asarray(got_a), np.asarray(anticausal_conv1d(x, wa, None)),
             rtol=1e-5, atol=1e-5, err_msg=f"anticausal {H}x{W}")
+
+
+def test_channel_grid_dual_conv_equals_rotate_conv_unrotate():
+    """channel_grid_dual_conv1d == rotate (swap rows/cols of the 3-D
+    Channel-First grid) → (anti)causal conv → unrotate — the flip-free
+    odd-layer ChannelVim conv, incl. the one-row and one-column wraps."""
+    import numpy as np
+
+    from fastvim_tpu.models.blocks import rotate_grid
+    from fastvim_tpu.ops.conv import (
+        anticausal_conv1d,
+        causal_conv1d,
+        channel_grid_dual_conv1d,
+    )
+
+    rng = np.random.default_rng(3)
+    for H, W, C in [(3, 4, 5), (2, 2, 4), (5, 7, 6), (1, 6, 4), (6, 1, 4)]:
+        d = 8
+        x = jnp.asarray(rng.standard_normal((2, H * W * C, d)), jnp.float32)
+        wc = jnp.asarray(rng.standard_normal((4, d)), jnp.float32)
+        bc = jnp.asarray(rng.standard_normal((d,)), jnp.float32)
+        wa = jnp.asarray(rng.standard_normal((4, d)), jnp.float32)
+
+        xt = rotate_grid(x, (H, W, C))
+        ref_c = rotate_grid(causal_conv1d(xt, wc, bc), (W, H, C))
+        ref_a = rotate_grid(anticausal_conv1d(xt, wa, None), (W, H, C))
+        got_c, got_a = channel_grid_dual_conv1d(x, wc, bc, wa, None,
+                                                (H, W, C))
+        np.testing.assert_allclose(
+            np.asarray(got_c), np.asarray(ref_c), rtol=1e-5, atol=1e-5,
+            err_msg=f"causal {H}x{W}x{C}")
+        np.testing.assert_allclose(
+            np.asarray(got_a), np.asarray(ref_a), rtol=1e-5, atol=1e-5,
+            err_msg=f"anticausal {H}x{W}x{C}")
