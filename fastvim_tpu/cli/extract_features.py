@@ -28,7 +28,8 @@ def build_backbone(cfg, checkpoint=None):
 
     model = create_model(
         cfg["model"], img_size=cfg["img_size"], num_classes=0,
-        drop_path_rate=0.0, out_indices=tuple(cfg["out_indices"]))
+        drop_path_rate=0.0, out_indices=tuple(cfg["out_indices"]),
+        layer_fused=cfg.get("layer_fused", "auto"))
     x0 = jnp.zeros((1, cfg["img_size"], cfg["img_size"], 3))
     params = model.init(jax.random.PRNGKey(0), x0)
     ckpt = checkpoint or cfg.get("pretrained_checkpoint_path")
@@ -48,9 +49,6 @@ def main(argv=None):
     p.add_argument("--with_fpn", action="store_true",
                    help="apply the SimpleFPN neck (detection)")
     p.add_argument("overrides", nargs="*")
-    import os
-    # inference-only entry point: fused layer kernel on TPU
-    os.environ.setdefault("FASTVIM_LAYER_FUSED", "auto")
     args = p.parse_args(argv)
     cfg = load_config(args.config_name, overrides=args.overrides)
 

@@ -21,11 +21,6 @@ from fastvim_tpu.cli.common import (
 
 def main(argv=None):
     args = base_parser(__doc__).parse_args(argv)
-    import os
-
-    # fused layer kernel: training win at fusable grids (see
-    # cli/train_classification.py); finetune is dense (no masking)
-    os.environ.setdefault("FASTVIM_LAYER_FUSED", "auto")
     cfg = load_cli_config(args, "mae")
 
     from fastvim_tpu.data import create_imagenet_loader
@@ -48,6 +43,7 @@ def main(argv=None):
         scaling_factor=cfg.get("scaling_factor", 0.25),
         scanpath_type=cfg.get("scanpath_type", "rowwise"),
         collapse_method=cfg.get("collapse_method", "mean"),
+        layer_fused=cfg.get("layer_fused", "auto"),
         remat=cfg.get("remat", False))  # fit lever for Huge-scale
 
     train_loader = create_imagenet_loader(

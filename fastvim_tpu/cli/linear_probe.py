@@ -40,10 +40,6 @@ class ProbeHead(nn.Module):
 
 def main(argv=None):
     args = base_parser(__doc__).parse_args(argv)
-    import os
-
-    # frozen-backbone forward: fused layer kernel on TPU when fusable
-    os.environ.setdefault("FASTVIM_LAYER_FUSED", "auto")
     cfg = load_cli_config(args, "mae")
 
     from fastvim_tpu.data import create_imagenet_loader
@@ -61,7 +57,8 @@ def main(argv=None):
     mesh, shard_fn = setup_mesh()
     backbone = create_model(
         cfg["model"], img_size=cfg["img_size"], num_classes=0,
-        drop_path_rate=0.0, scaling_factor=cfg.get("scaling_factor", 0.25))
+        drop_path_rate=0.0, scaling_factor=cfg.get("scaling_factor", 0.25),
+        layer_fused=cfg.get("layer_fused", "auto"))
     head = ProbeHead(cfg["num_classes"])
 
     train_loader = create_imagenet_loader(

@@ -41,6 +41,9 @@ def main(argv=None):
         rotate_every_block=cfg.get("rotate_every_block", True),
         collapse_method=cfg.get("collapse_method", "mean"),
         use_norm_after_ssm=cfg.get("use_norm_after_ssm", True),
+        # per-model Pallas routing for the decoder's exposed full-L
+        # scans (the ChannelVim lesson; benchmarks/mae_cost_tpu.py)
+        pallas_min_l=cfg.get("pallas_min_l", 64),
         # opt-in fit lever for Huge-scale/long-L (measured NEGATIVE for
         # throughput at base/224: 92.2 img/s b16 vs 80.5 b16-remat vs
         # 60.2 b32-remat on 1xv5e — enable only when the batch doesn't

@@ -15,10 +15,6 @@ from fastvim_tpu.cli.common import base_parser, load_cli_config, setup_mesh
 
 
 def main(argv=None):
-    import os
-    # inference-only entry point: default the fused layer kernel on
-    # (TPU-only via "auto"; parity-locked, 2.3x @2048 — layer_fused.py)
-    os.environ.setdefault("FASTVIM_LAYER_FUSED", "auto")
     p = base_parser(__doc__)
     p.add_argument("--checkpoint", required=False, default=None)
     p.add_argument("--ema", action="store_true",
@@ -34,7 +30,8 @@ def main(argv=None):
 
     mesh, shard_fn = setup_mesh()
     model = create_model(cfg["model"], img_size=cfg["img_size"],
-                         num_classes=cfg["num_classes"], drop_path_rate=0.0)
+                         num_classes=cfg["num_classes"], drop_path_rate=0.0,
+                         layer_fused=cfg.get("layer_fused", "auto"))
     x0 = jnp.zeros((2, cfg["img_size"], cfg["img_size"], 3))
     params = model.init(jax.random.PRNGKey(0), x0)
     if args.checkpoint:

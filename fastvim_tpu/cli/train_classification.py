@@ -20,13 +20,6 @@ from fastvim_tpu.cli.common import (
 
 def main(argv=None):
     args = base_parser(__doc__).parse_args(argv)
-    import os
-
-    # Fused layer megakernel (ops/pallas/layer_fused.py) — measured
-    # training win at fusable shapes (benchmarks/train_fused_tpu.py:
-    # 47.1 vs 23.6 img/s @2048, fused adjoint backward); no-op where
-    # the grid fails `fusable` (e.g. 224px's 14x14).
-    os.environ.setdefault("FASTVIM_LAYER_FUSED", "auto")
     cfg = load_cli_config(args, "classification")
 
     from fastvim_tpu.data import create_imagenet_loader
@@ -50,6 +43,7 @@ def main(argv=None):
         rotate_every_block=cfg.get("rotate_every_block", True),
         collapse_method=cfg.get("collapse_method", "mean"),
         use_norm_after_ssm=cfg.get("use_norm_after_ssm", True),
+        layer_fused=cfg.get("layer_fused", "auto"),
         remat=cfg.get("remat", False))  # fit lever for Huge-scale
 
     train_loader = create_imagenet_loader(

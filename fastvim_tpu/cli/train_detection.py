@@ -36,6 +36,7 @@ def build_model(cfg):
         cfg["model"], img_size=cfg["img_size"],
         patch_size=cfg.get("patch_size", 16), num_classes=0,
         drop_path_rate=cfg.get("drop_path_rate", 0.0), dtype=dtype,
+        layer_fused=cfg.get("layer_fused", "auto"),
         out_indices=tuple(out_indices) if out_indices else None)
     embed_dim = getattr(backbone, "embed_dim")
     if depth is None:
@@ -93,12 +94,6 @@ def main(argv=None):
     p.add_argument("--eval_only", action="store_true",
                    help="checkpoint-in → box-AP-out, no training")
     args = p.parse_args(argv)
-    import os
-
-    # fused layer kernel for the backbone (1024px grid 64 is fusable);
-    # training backward measured 2x on the classification bench
-    # (benchmarks/train_fused_tpu.py) — applies to train and eval
-    os.environ.setdefault("FASTVIM_LAYER_FUSED", "auto")
     cfg = load_cli_config(args, "detection")
 
     from fastvim_tpu.data.detection import create_detection_loader

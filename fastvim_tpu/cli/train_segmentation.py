@@ -80,10 +80,6 @@ def main(argv=None):
                    help="iterations between mIoU evals (schedule_160k.py"
                    " CheckpointHook interval)")
     args = p.parse_args(argv)
-    # fused layer kernel for the backbone (512px grid 32 is fusable);
-    # training backward measured 2x on the classification bench
-    # (benchmarks/train_fused_tpu.py) — applies to train and eval
-    os.environ.setdefault("FASTVIM_LAYER_FUSED", "auto")
     cfg = load_cli_config(args, "segmentation")
 
     from fastvim_tpu.data.segmentation import create_segmentation_loader
@@ -104,7 +100,8 @@ def main(argv=None):
     mesh, shard_fn = setup_mesh()
     backbone = create_model(
         cfg["model"], img_size=cfg["img_size"], num_classes=0,
-        drop_path_rate=0.0, out_indices=tuple(cfg["out_indices"]))
+        drop_path_rate=0.0, out_indices=tuple(cfg["out_indices"]),
+        layer_fused=cfg.get("layer_fused", "auto"))
     seg = UperNetSegmentor(
         backbone=backbone, num_classes=cfg["num_classes"],
         aux_index=cfg.get("aux_index", 2),

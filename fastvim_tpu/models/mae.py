@@ -169,6 +169,16 @@ class MaskedAutoencoderVim(nn.Module):
     # Its pos-embed row is zeros (:38-39). Only meaningful with
     # encoder_type="vim" (FastMaskVim has no cls token).
     scan_impl: str = "auto"
+    # Route exposed full-L scans to the Pallas chunked kernel on TPU
+    # (the ChannelVim lesson, VERDICT r3 #1): the DECODER's non-pooled
+    # scans (L=grid², d_inner=2·dec_dim=1024, n=16) match the exposure
+    # pattern where scan temps dwarf the full-L stream; measured on
+    # hardware in benchmarks/mae_cost_tpu.py. None → global default.
+    pallas_min_l: Optional[int] = 64
+    # Megakernel dispatch for the (dense, fusable-grid) blocks; the
+    # masked encoder (row_onehot) never fuses, and 14x14 decoder grids
+    # fail `fusable`, so this only matters for non-224 sizes.
+    layer_fused: str = "auto"
     remat: bool = False  # rematerialize encoder blocks (Huge-scale)
     dtype: Any = jnp.float32
 
@@ -225,6 +235,8 @@ class MaskedAutoencoderVim(nn.Module):
             collapse_method=self.collapse_method,
             n_layer=self.depth,
             scan_impl=self.scan_impl,
+            pallas_min_l=self.pallas_min_l,
+            layer_fused=self.layer_fused,
             **(self.ssm_cfg or {}),
         )
         hidden, residual = visible, None
@@ -321,6 +333,10 @@ class MaskedAutoencoderVim(nn.Module):
             collapse_method="none",  # plain Vim decoder blocks
             n_layer=self.decoder_depth,
             scan_impl=self.scan_impl,
+            # full-length (L=grid²) non-pooled scans — the exposed-scan
+            # shape; see the class field's note
+            pallas_min_l=self.pallas_min_l,
+            layer_fused=self.layer_fused,
             **(self.ssm_cfg or {}),
         )
         residual = None

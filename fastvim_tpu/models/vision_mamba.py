@@ -54,6 +54,10 @@ class VisionMamba(nn.Module):
     scaling_factor: float = 1.0
     out_indices: Optional[Sequence[int]] = None
     scan_impl: str = "auto"
+    # Full-layer megakernel dispatch (see MambaMixer.layer_fused):
+    # "auto" | "on" | "off"; FASTVIM_LAYER_FUSED env overrides.
+    layer_fused: str = "auto"
+    layer_fused_bwd: str = "fused"
     remat: bool = False  # rematerialize blocks (trade FLOPs for HBM)
     dtype: Any = jnp.float32
 
@@ -124,6 +128,8 @@ class VisionMamba(nn.Module):
             scaling_factor=self.scaling_factor,
             n_layer=self.depth,
             scan_impl=self.scan_impl,
+            layer_fused=self.layer_fused,
+            layer_fused_bwd=self.layer_fused_bwd,
             **(self.ssm_cfg or {}),
         )
         import numpy as np

@@ -1229,22 +1229,24 @@ def _fused_bwd_impl(g, x_hat, p, xc_f, xc_b, pf, pb, grid, transposed,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7,
-                                                    8, 9))
+                                                    8, 9, 10))
 def fused_mixer_core(x_hat, p, grid, transposed, scaling, eps, use_ln,
-                     dtype, scan_impl, interpret):
+                     dtype, scan_impl, interpret, bwd_mode="fused"):
     """Fused FastVim mixer layer (in_proj → … → out_proj).
 
     x_hat: (B, L, d_model) normed block input. p: parameter tuple (see
     `_reference_core`). Returns (B, L, d_model). Gradient: fused
-    adjoint kernels (FASTVIM_LF_BWD=fused, default) or jax.vjp of the
-    pure-JAX reference (FASTVIM_LF_BWD=remat, and always in the
-    recompute forward mode, which materializes no conv outputs)."""
+    adjoint kernels (``bwd_mode="fused"``, default — the config value
+    from `MambaMixer.layer_fused_bwd`) or jax.vjp of the pure-JAX
+    reference (``bwd_mode="remat"``, and always in the recompute
+    forward mode, which materializes no conv outputs). The
+    FASTVIM_LF_BWD env var remains an experiment-time override."""
     return _fused_fwd_impl(x_hat, p, grid, transposed, scaling, eps,
                            use_ln, dtype, scan_impl, interpret)
 
 
 def _fmc_fwd(x_hat, p, grid, transposed, scaling, eps, use_ln, dtype,
-             scan_impl, interpret):
+             scan_impl, interpret, bwd_mode="fused"):
     out, saved = _fused_fwd_impl(x_hat, p, grid, transposed, scaling,
                                  eps, use_ln, dtype, scan_impl,
                                  interpret, return_saved=True)
@@ -1252,9 +1254,9 @@ def _fmc_fwd(x_hat, p, grid, transposed, scaling, eps, use_ln, dtype,
 
 
 def _fmc_bwd(grid, transposed, scaling, eps, use_ln, dtype, scan_impl,
-             interpret, res, g):
+             interpret, bwd_mode, res, g):
     x_hat, p, saved = res
-    mode = os.environ.get("FASTVIM_LF_BWD", "fused")
+    mode = os.environ.get("FASTVIM_LF_BWD") or bwd_mode
     if saved is None or mode == "remat":
         _, vjp = jax.vjp(
             lambda xh, pp: _reference_core(xh, pp, grid, transposed,
@@ -1321,7 +1323,8 @@ def _cached_data_mesh(batch: int):
 
 
 def fused_mixer_core_sharded(x_hat, p, mesh, grid, transposed, scaling,
-                             eps, use_ln, dtype, scan_impl, interpret):
+                             eps, use_ln, dtype, scan_impl, interpret,
+                             bwd_mode="fused"):
     """``fused_mixer_core`` under a data-parallel shard_map: batch
     sharded over ``mesh``'s "data" axis, params replicated. Forward is
     embarrassingly parallel (the kernel grids over batch); the VJP's
@@ -1333,7 +1336,8 @@ def fused_mixer_core_sharded(x_hat, p, mesh, grid, transposed, scaling,
 
     def f(xh, pp):
         return fused_mixer_core(xh, pp, grid, transposed, scaling, eps,
-                                use_ln, dtype, scan_impl, interpret)
+                                use_ln, dtype, scan_impl, interpret,
+                                bwd_mode)
 
     return shard_map(
         f, mesh=mesh,
