@@ -37,6 +37,7 @@ def main(argv=None):
     mesh, shard_fn = setup_mesh()
     model = create_model(
         cfg["model"], img_size=cfg["img_size"],
+        patch_size=cfg.get("patch_size", 16),
         num_classes=cfg["num_classes"],
         drop_path_rate=cfg["drop_path_rate"],
         scanpath_type=cfg.get("scanpath_type", "rowwise"),

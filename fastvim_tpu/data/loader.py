@@ -268,8 +268,17 @@ def create_imagenet_loader(
     training: bool, mae: bool = False, num_workers: int = 4, seed: int = 0,
     synthetic_samples: int = 512, use_native: bool = True,
 ):
-    """Folder loader if data_dir exists, else synthetic (FakeData path)."""
+    """Folder loader if data_dir exists, else synthetic (FakeData path).
+    `data_dir="digits"` selects the offline real-image digits dataset
+    (data/digits.py) — the end-to-end accuracy-campaign path."""
     from fastvim_tpu.data import transforms as T
+
+    if data_dir == "digits":
+        from fastvim_tpu.data.digits import create_digits_loader
+
+        return create_digits_loader(
+            "train" if split == "train" else "val", batch_size, img_size,
+            training=training, num_workers=num_workers, seed=seed)
 
     if training:
         if mae:
