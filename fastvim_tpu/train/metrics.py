@@ -38,7 +38,11 @@ def miou_from_confusion(cm: Array) -> Array:
 # ---------------------------------------------------------------------
 
 def _ap_from_rows(rows, gt_counts, iou_thr: float) -> float:
-    """All-point-interpolated AP for one class.
+    """COCO 101-point-interpolated AP for one class (the pycocotools
+    COCOeval.accumulate convention, which mmdet's CocoMetric reports:
+    precision envelope sampled at recThrs = 0:.01:1 via searchsorted —
+    NOT the VOC all-point integral; verified against an independent
+    COCOeval-structured oracle in tests/test_metrics_oracle.py).
 
     rows: score-DESC-sorted list of (img_idx, ious ndarray over that
     image's class gts). gt_counts: {img_idx: n_gt}. Matching: greedy
@@ -59,15 +63,23 @@ def _ap_from_rows(rows, gt_counts, iou_thr: float) -> float:
             matched[i][j] = True
         else:
             fp[k] = 1
+    if not len(rows):
+        return 0.0
     ctp, cfp = np.cumsum(tp), np.cumsum(fp)
     recall = ctp / n_gt
-    precision = ctp / np.maximum(ctp + cfp, 1e-9)
-    mprec = np.concatenate([[0.0], precision, [0.0]])
-    mrec = np.concatenate([[0.0], recall, [1.0]])
-    for k in range(len(mprec) - 2, -1, -1):
-        mprec[k] = max(mprec[k], mprec[k + 1])
-    idx = np.where(mrec[1:] != mrec[:-1])[0]
-    return float(np.sum((mrec[idx + 1] - mrec[idx]) * mprec[idx + 1]))
+    precision = ctp / (ctp + cfp + np.spacing(1))
+    # backwards-max envelope, then sample at the 101 recall thresholds
+    # (COCOeval.accumulate lines "for i in range(nd-1, 0, -1)" and
+    # "inds = np.searchsorted(rc, p.recThrs, side='left')")
+    for k in range(len(precision) - 1, 0, -1):
+        if precision[k] > precision[k - 1]:
+            precision[k - 1] = precision[k]
+    rec_thrs = np.linspace(0.0, 1.0, 101)
+    inds = np.searchsorted(recall, rec_thrs, side="left")
+    q = np.zeros(101)
+    valid = inds < len(precision)
+    q[valid] = precision[inds[valid]]
+    return float(q.mean())
 
 
 def _np(x):

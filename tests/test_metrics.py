@@ -44,7 +44,10 @@ def test_coco_map_perfect_predictions():
     preds = [{"boxes": gts[0]["boxes"], "scores": np.ones(2),
               "labels": gts[0]["labels"]}]
     m = coco_map(preds, gts, num_classes=2)
-    assert m["mAP"] == 1.0 and m["AP50"] == 1.0 and m["AP75"] == 1.0
+    # 1.0 up to the pycocotools np.spacing(1) precision convention
+    # (pycocotools itself reports 0.9999999999999998 here)
+    for k in ("mAP", "AP50", "AP75"):
+        assert abs(m[k] - 1.0) < 1e-12
     # adjacent same-class objects: second pred matches the unmatched gt
     gts2 = [{"boxes": np.array([[0, 0, 10, 10], [2, 0, 12, 10.]]),
              "labels": np.array([0, 0])}]
