@@ -55,8 +55,10 @@ def throughput(model_name, img_size, batch, n1=4, n2=12,
     if layer_fused is not None:
         # fused two-pass layer kernel (ops/pallas/layer_fused.py) —
         # parity-locked vs the XLA path; wins forward (201 vs 86.6
-        # img/s @2048) and training (47.1 vs 23.6, adjoint backward)
-        os.environ["FASTVIM_LAYER_FUSED"] = "1" if layer_fused else "0"
+        # img/s @2048) and training (47.1 vs 23.6, adjoint backward).
+        # Dispatched via the `layer_fused` CONFIG field (round 4) —
+        # the production path, no env setup.
+        kw["layer_fused"] = "on" if layer_fused else "off"
     model = create_model(model_name, img_size=img_size, dtype=dtype,
                          drop_path_rate=0.0, **kw)
     x = jax.random.normal(jax.random.PRNGKey(1),
@@ -70,12 +72,12 @@ def throughput(model_name, img_size, batch, n1=4, n2=12,
     return batch / dt
 
 
-def train_throughput(model_name, img_size, batch, n1=2, n2=8):
+def train_throughput(model_name, img_size, batch, n1=2, n2=8,
+                     layer_fused="auto"):
     """Supervised train-step throughput with the fused adjoint backward
     (benchmarks/train_fused_tpu.py measured 47.1 vs 23.6 img/s @2048 —
     the megakernel's 2× training win). One compile: the loop length is
     a traced argument."""
-    os.environ["FASTVIM_LAYER_FUSED"] = "1"
     from fastvim_tpu.models import create_model
     from fastvim_tpu.train import (
         TrainState,
@@ -85,7 +87,8 @@ def train_throughput(model_name, img_size, batch, n1=2, n2=8):
     )
 
     model = create_model(model_name, img_size=img_size,
-                         dtype=jnp.bfloat16, drop_path_rate=0.0)
+                         dtype=jnp.bfloat16, drop_path_rate=0.0,
+                         layer_fused=layer_fused)
     x0 = jax.random.normal(jax.random.PRNGKey(1),
                            (batch, img_size, img_size, 3), jnp.bfloat16)
     y0 = jnp.zeros((batch,), jnp.int32)
@@ -119,8 +122,65 @@ def train_throughput(model_name, img_size, batch, n1=2, n2=8):
         return best
 
     dt = (timed(n2) - timed(n1)) / (n2 - n1)
-    os.environ["FASTVIM_LAYER_FUSED"] = "0"
     return batch / dt
+
+
+# Family-win ride-through guards (VERDICT r3 #5): the round-3/4 family
+# numbers lived only in STATUS/PERF — a regression was invisible to the
+# bench artifact. Guard values are the measured wins; tolerance ±15%
+# (the chip/relay itself drifts ±7% across hours, docs/PERF.md §6).
+FAMILY_GUARDS = {
+    # PERF.md §8 (round 4): MAE decoder scans routed to Pallas, b16
+    "mae_base_pretrain_img_s": 392.9,
+    # PERF.md §7 (round 3): ChannelVim-S HCS train b8, Pallas routing
+    "channelvim_s_train_img_s": 218.8,
+    # round-2 sweep: supervised train @224 b40 (14x14 grid not fusable)
+    "fastvim_t_224_train_img_s": 1272.0,
+    # STATUS r3: det/seg train steps @512 b8 with fused backbone
+    "det_512_b8_train_img_s": 25.6,
+    "seg_512_b8_train_img_s": 177.0,
+}
+
+
+def families(tol: float = 0.15):
+    """Per-family step throughput + guard (reuses the family harnesses;
+    benchmarks/family_tpu.py, benchmarks/det_seg_tpu.py)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "benchmarks"))
+    out, ok = {}, True
+
+    def record(key, fn):
+        nonlocal ok
+        guard = FAMILY_GUARDS[key]
+        try:
+            v = float(fn())
+            passed = v >= (1 - tol) * guard
+            out[key] = {"img_per_s": round(v, 1), "guard": guard,
+                        "ok": passed}
+            ok &= passed
+        except Exception as e:  # noqa: BLE001 — one family must not kill the bench
+            out[key] = {"error": str(e)[:160], "guard": guard,
+                        "ok": False}
+            ok = False
+        print(json.dumps({key: out[key]}), flush=True)
+
+    from family_tpu import bench_channel, bench_mae
+
+    record("mae_base_pretrain_img_s",
+           lambda: bench_mae("mae_FastVim_base_dec512d2b", 224,
+                             16)["img_per_s"])
+    record("channelvim_s_train_img_s",
+           lambda: bench_channel("fastchannelvim_small_ps16", 224,
+                                 8)["train"]["img_per_s"])
+    record("fastvim_t_224_train_img_s",
+           lambda: train_throughput("fastvim_tiny", 224, 40))
+    from det_seg_tpu import bench_detection, bench_segmentation
+
+    record("det_512_b8_train_img_s",
+           lambda: bench_detection(512, 8)["img_per_s"])
+    record("seg_512_b8_train_img_s",
+           lambda: bench_segmentation(512, 8)["img_per_s"])
+    return out, ok
 
 
 def sweep(tol: float = 0.05):
@@ -162,7 +222,7 @@ def sweep(tol: float = 0.05):
     return 0 if ok else 1
 
 
-def main():
+def main(skip_families: bool = False):
     results = {}
     # Batch choices from the round-2/3 sweeps on v5e (non-monotonic XLA
     # schedule cliffs; CLAUDE.md):
@@ -190,6 +250,11 @@ def main():
         results["vim_t_2048_img_s"] = None
         results["vim_error"] = str(e)[:200]
 
+    if not skip_families:
+        fam, fam_ok = families()
+        results["families"] = fam
+        results["families_ok"] = fam_ok
+
     value = results["fastvim_t_2048_img_s"]
     if results.get("vim_t_2048_img_s"):
         ratio = value / results["vim_t_2048_img_s"]
@@ -213,7 +278,9 @@ if __name__ == "__main__":
     ap.add_argument("--sweep", action="store_true",
                     help="re-validate the pinned batch sizes against a "
                          "fresh sweep instead of running the bench")
+    ap.add_argument("--skip_families", action="store_true",
+                    help="headline numbers only (family guards skipped)")
     args = ap.parse_args()
     if args.sweep:
         sys.exit(sweep())
-    main()
+    main(skip_families=args.skip_families)

@@ -69,10 +69,24 @@ class Block(nn.Module):
                   self.param("norm_bias", nn.initializers.zeros, (self.dim,)))
         if residual is not None:
             hidden = DropPath(self.drop_path)(hidden, deterministic)
-        hidden, residual = add_norm(
-            hidden, norm_w, norm_b, residual=residual, prenorm=True,
-            residual_in_fp32=self.residual_in_fp32, eps=self.norm_eps,
-            rms=self.rms_norm, out_dtype=self.dtype)
+        import os as _os
+
+        if "noaddnorm" in _os.environ.get("FASTVIM_COMPONENT_ABLATE", ""):
+            # ablation ONLY (benchmarks/boundary_cost_tpu.py): skip the
+            # inter-layer add+LN to measure the megakernel's layer-
+            # boundary cost — the realizable upper bound of the
+            # cross-layer B_k⊕A_{k+1} fusion lever (docs/PERF.md §6;
+            # adjacent layers tile in transposed orders, so the x̂ HBM
+            # round-trip itself is not avoidable). Numerics change;
+            # speed is the signal.
+            residual = (hidden.astype(jnp.float32) if residual is None
+                        else residual + hidden.astype(residual.dtype))
+            hidden = residual.astype(self.dtype)
+        else:
+            hidden, residual = add_norm(
+                hidden, norm_w, norm_b, residual=residual, prenorm=True,
+                residual_in_fp32=self.residual_in_fp32, eps=self.norm_eps,
+                rms=self.rms_norm, out_dtype=self.dtype)
 
         grid = tuple(self.token_size)
         rotated = (self.rotate if self.rotate is not None else

@@ -150,6 +150,177 @@ class FCNMaskHead(nn.Module):
                        name="logits")(x)
 
 
+class _CascadeStageTrain(nn.Module):
+    """One cascade training stage as a `nn.scan` body (VERDICT r3 #6).
+
+    The round-3 code unrolled the 3 stages, tracing the heavy per-stage
+    subgraphs (max-IoU assignment, random sampling, two multilevel
+    RoIAligns, mask-target cropping) three times — the dominant share of
+    the 57k-line train HLO and its ~6 min remote compile. Scanning the
+    stage body traces it ONCE; the stage-varying pieces become scanned
+    inputs: the bbox head's params get a leading stage axis (3, …) via
+    `variable_axes={"params": 0}`, and the IoU threshold / target stds /
+    loss weight ride in as xs. The shared mask head moves AFTER the scan
+    (one application on the 3-stage-stacked RoI features). Semantics are
+    unchanged vs the unrolled form (test_detection.py::test_scan_matches
+    _unrolled_stage_semantics pins stage-0 equivalence).
+
+    carry = (proposals (B,P,4), proposal validity (B,P));
+    xs = {iou, stds, weight}; broadcast: gt tuple + 4 FPN levels.
+    """
+
+    num_classes: int
+    rcnn_sample: int
+    mask_size: int
+    img_size: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, xs, gt, feats4):
+        props, pvalid = carry
+        gt_boxes, gt_valid, gt_labels, gt_masks = gt
+        B = props.shape[0]
+        ablate = _ablate()
+        stage_rngs = jax.random.split(self.make_rng("sampler"), B)
+
+        def stage_one(rng, props_i, pvalid_i, gtb, gtv, gtl, gtm,
+                      *feats_i):
+            cand = jnp.concatenate([props_i, gtb])
+            cand_valid = jnp.concatenate([pvalid_i, gtv])
+            if ablate == "noassign":
+                C = cand.shape[0]
+                G = gtb.shape[0]
+                assigned = jnp.where(
+                    (jnp.arange(C) < G) &
+                    gtv[jnp.minimum(jnp.arange(C), G - 1)],
+                    jnp.minimum(jnp.arange(C), G - 1), -1)
+                idx = jnp.arange(self.rcnn_sample)
+                is_pos = assigned[idx] >= 0
+                valid = jnp.ones((self.rcnn_sample,), bool)
+            else:
+                assigned = max_iou_assign(
+                    cand, gtb, gtv,
+                    pos_iou_thr=xs["iou"], neg_iou_thr=xs["iou"],
+                    min_pos_iou=xs["iou"], match_low_quality=False)
+                assigned = jnp.where(cand_valid, assigned, -2)
+                idx, is_pos, valid = random_sample(
+                    rng, assigned, self.rcnn_sample, 0.25)
+            rois = cand[idx]
+            g = jnp.clip(assigned[idx], 0)
+            lbl = jnp.where(is_pos, gtl[g], self.num_classes)
+            regt = delta_encode(rois, gtb[g], stds=xs["stds"])
+            if ablate in ("noroi", "noroibox"):
+                rfeat7 = jnp.zeros(
+                    (self.rcnn_sample, 7, 7, feats_i[0].shape[-1]),
+                    feats_i[0].dtype)
+            else:
+                rfeat7 = multilevel_roi_align(list(feats_i), rois, 7,
+                                              ROI_STRIDES)
+            # mask branch on POSITIVES only (mmdet pos_rois,
+            # cascade_roi_head mask forward): the sampler caps
+            # positives at rcnn_sample*pos_fraction, so packing them
+            # into M slots is exact — and it cut the mask head's
+            # activations/FLOPs 4x (the b8@512 OOM, round 3)
+            M = max(1, int(self.rcnn_sample * 0.25))
+            pos_rank = jnp.cumsum(is_pos) - 1
+            midx = jnp.zeros((M,), jnp.int32).at[
+                jnp.where(is_pos, pos_rank, M)].set(
+                jnp.arange(self.rcnn_sample), mode="drop")
+            mvalid = jnp.arange(M) < (is_pos & valid).sum()
+            rois_m = rois[midx]
+            if ablate in ("nomask", "noroi"):
+                rfeat14 = jnp.zeros(
+                    (M, 14, 14, feats_i[0].shape[-1]),
+                    feats_i[0].dtype)
+                mt = jnp.zeros((M, self.mask_size, self.mask_size),
+                               jnp.float32)
+            else:
+                rfeat14 = multilevel_roi_align(list(feats_i), rois_m,
+                                               14, ROI_STRIDES)
+                if ablate == "nomasktgt":
+                    mt = jnp.zeros(
+                        (M, self.mask_size, self.mask_size),
+                        jnp.float32)
+                else:
+                    crop = jax.vmap(
+                        lambda m, r: roi_align(
+                            m[..., None], r[None],
+                            self.mask_size, 1.0)[0, ..., 0]
+                    )(gtm[g[midx]].astype(jnp.float32), rois_m)
+                    mt = (crop > 0.5).astype(jnp.float32)
+            return (rois, rfeat7, rfeat14, lbl, regt, is_pos, valid,
+                    mt, lbl[midx], mvalid)
+
+        (rois_b, rfeat7, rfeat14, labels_b, regt_b, pos_b, valid_b,
+         mt_b, mlab_b, mvalid_b) = jax.vmap(stage_one)(
+            stage_rngs, props, pvalid, gt_boxes, gt_valid, gt_labels,
+            gt_masks, *feats4)
+
+        N = self.rcnn_sample
+        if ablate == "nobbhead":
+            cls_logits = jnp.zeros((B * N, self.num_classes + 1),
+                                   jnp.float32)
+            reg = jnp.zeros((B * N, 4), jnp.float32) + \
+                1e-12 * rfeat7.reshape(B * N, -1)[:, :4]
+        else:
+            cls_logits, reg = Shared2FCBBoxHead(
+                self.num_classes, dtype=self.dtype, name="head")(
+                rfeat7.reshape(B * N, *rfeat7.shape[2:]))
+        labels = labels_b.reshape(B * N)
+        valid = valid_b.reshape(B * N)
+        is_pos = pos_b.reshape(B * N)
+        regt = regt_b.reshape(B * N, 4)
+        denom = jnp.maximum(valid.sum(), 1)
+        ce = -jax.nn.log_softmax(cls_logits.astype(jnp.float32))[
+            jnp.arange(labels.shape[0]), labels]
+        cls_l = xs["weight"] * jnp.sum(ce * valid) / denom
+        rl = smooth_l1(reg.astype(jnp.float32), regt, beta=1.0)
+        reg_l = xs["weight"] * \
+            jnp.sum(rl.sum(-1) * (is_pos & valid)) / denom
+
+        # refine proposals for the next stage (class-agnostic reg)
+        reg_sg = jax.lax.stop_gradient(reg.reshape(B, N, 4))
+        props_next = delta_decode(rois_b, reg_sg, stds=xs["stds"],
+                                  max_shape=(self.img_size,
+                                             self.img_size))
+        ys = dict(cls=cls_l, reg=reg_l, rfeat14=rfeat14, mt=mt_b,
+                  mlab=mlab_b, mvalid=mvalid_b)
+        return (props_next, valid_b), ys
+
+
+class _CascadeStageEval(nn.Module):
+    """Eval twin of `_CascadeStageTrain` — same single param-bearing
+    submodule ("head"), so both scans bind the identical stacked
+    (3, …) parameter tree under the shared module name "stages".
+    carry = (rois, running softmax-score sum); xs = per-stage stds."""
+
+    num_classes: int
+    img_size: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, stds, feats4):
+        rois, scores_sum = carry
+        B, P = rois.shape[:2]
+        rfeat = jax.vmap(
+            lambda f0, f1, f2, f3, r: multilevel_roi_align(
+                [f0, f1, f2, f3], r, 7, ROI_STRIDES))(*feats4, rois)
+        cls_logits, reg = Shared2FCBBoxHead(
+            self.num_classes, dtype=self.dtype, name="head")(
+            rfeat.reshape(B * P, *rfeat.shape[2:]))
+        scores_sum = scores_sum + jax.nn.softmax(
+            cls_logits.reshape(B, P, -1).astype(jnp.float32), -1)
+        rois = delta_decode(rois, reg.reshape(B, P, 4), stds=stds,
+                            max_shape=(self.img_size, self.img_size))
+        return (rois, scores_sum), None
+
+
+def _stage_xs():
+    return dict(iou=jnp.asarray(STAGE_IOUS, jnp.float32),
+                stds=jnp.asarray(STAGE_STDS, jnp.float32),
+                weight=jnp.asarray(STAGE_WEIGHTS, jnp.float32))
+
+
 class CascadeMaskRCNN(nn.Module):
     """Backbone → SimpleFPN → RPN → 3-stage cascade + mask head.
 
@@ -239,15 +410,12 @@ class CascadeMaskRCNN(nn.Module):
         slices = self._level_slices(feats)
         B = images.shape[0]
 
-        bbox_heads = [Shared2FCBBoxHead(self.num_classes, dtype=self.dtype,
-                                        name=f"bbox_head_{s}")
-                      for s in range(3)]
         mask_head = FCNMaskHead(self.num_classes, dtype=self.dtype,
                                 name="mask_head")
 
         if not train:
             return self._predict(feats, anchors, slices, rpn_logits,
-                                 rpn_deltas, bbox_heads, mask_head)
+                                 rpn_deltas, mask_head)
 
         # ---------------- RPN losses ----------------
         # vmap over images (round 3): the round-2 per-image Python loops
@@ -301,139 +469,52 @@ class CascadeMaskRCNN(nn.Module):
         losses["rpn_reg"] = jnp.mean(rpn_reg_l)
 
         # ---------------- cascade stages ----------------
-        # stages stay unrolled (3 distinct heads/IoU thresholds); the
-        # per-image sampling/RoIAlign runs once under vmap.
+        # lax.scan over the 3 stages (VERDICT r3 #6): the stage body —
+        # assignment, sampling, both RoIAligns, mask targets, bbox head
+        # — is traced ONCE; the three bbox heads become one stacked
+        # (3, …) parameter tree, stage constants ride in as xs, and the
+        # shared mask head runs after the scan on the stacked features.
+        stages = nn.scan(
+            _CascadeStageTrain,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "sampler": True},
+            in_axes=(0, nn.broadcast, nn.broadcast), length=3,
+        )(self.num_classes, self.rcnn_sample, self.mask_size,
+          self.img_size, dtype=self.dtype, name="stages")
+        _, ys = stages(
+            (props, pvalid), _stage_xs(),
+            (gt_boxes, gt_valid, gt_labels, gt_masks),
+            tuple(feats[:4]))  # RoI levels only (5th is RPN-only)
         for s in range(3):
-            stds = STAGE_STDS[s]
-            stage_rngs = jnp.stack(
-                [self.make_rng("sampler") for _ in range(B)])
+            losses[f"s{s}_cls"] = ys["cls"][s]
+            losses[f"s{s}_reg"] = ys["reg"][s]
 
-            def stage_one(rng, props_i, pvalid_i, gtb, gtv, gtl, gtm,
-                          *feats_i):
-                cand = jnp.concatenate([props_i, gtb])
-                cand_valid = jnp.concatenate([pvalid_i, gtv])
-                if ablate == "noassign":
-                    C = cand.shape[0]
-                    G = gtb.shape[0]
-                    assigned = jnp.where(
-                        (jnp.arange(C) < G) &
-                        gtv[jnp.minimum(jnp.arange(C), G - 1)],
-                        jnp.minimum(jnp.arange(C), G - 1), -1)
-                    idx = jnp.arange(self.rcnn_sample)
-                    is_pos = assigned[idx] >= 0
-                    valid = jnp.ones((self.rcnn_sample,), bool)
-                else:
-                    assigned = max_iou_assign(
-                        cand, gtb, gtv,
-                        pos_iou_thr=STAGE_IOUS[s],
-                        neg_iou_thr=STAGE_IOUS[s],
-                        min_pos_iou=STAGE_IOUS[s],
-                        match_low_quality=False)
-                    assigned = jnp.where(cand_valid, assigned, -2)
-                    idx, is_pos, valid = random_sample(
-                        rng, assigned, self.rcnn_sample, 0.25)
-                rois = cand[idx]
-                g = jnp.clip(assigned[idx], 0)
-                lbl = jnp.where(is_pos, gtl[g], self.num_classes)
-                regt = delta_encode(rois, gtb[g], stds=stds)
-                if ablate in ("noroi", "noroibox"):
-                    rfeat7 = jnp.zeros(
-                        (self.rcnn_sample, 7, 7, feats_i[0].shape[-1]),
-                        feats_i[0].dtype)
-                else:
-                    rfeat7 = multilevel_roi_align(list(feats_i), rois, 7,
-                                                  ROI_STRIDES)
-                # mask branch on POSITIVES only (mmdet pos_rois,
-                # cascade_roi_head mask forward): the sampler caps
-                # positives at rcnn_sample*pos_fraction, so packing them
-                # into M slots is exact — and it cut the mask head's
-                # activations/FLOPs 4x (the b8@512 OOM, round 3)
-                M = max(1, int(self.rcnn_sample * 0.25))
-                pos_rank = jnp.cumsum(is_pos) - 1
-                midx = jnp.zeros((M,), jnp.int32).at[
-                    jnp.where(is_pos, pos_rank, M)].set(
-                    jnp.arange(self.rcnn_sample), mode="drop")
-                mvalid = jnp.arange(M) < (is_pos & valid).sum()
-                rois_m = rois[midx]
-                if ablate in ("nomask", "noroi"):
-                    rfeat14 = jnp.zeros(
-                        (M, 14, 14, feats_i[0].shape[-1]),
-                        feats_i[0].dtype)
-                    mt = jnp.zeros((M, self.mask_size, self.mask_size),
-                                   jnp.float32)
-                else:
-                    rfeat14 = multilevel_roi_align(list(feats_i), rois_m,
-                                                   14, ROI_STRIDES)
-                    if ablate == "nomasktgt":
-                        mt = jnp.zeros(
-                            (M, self.mask_size, self.mask_size),
-                            jnp.float32)
-                    else:
-                        crop = jax.vmap(
-                            lambda m, r: roi_align(
-                                m[..., None], r[None],
-                                self.mask_size, 1.0)[0, ..., 0]
-                        )(gtm[g[midx]].astype(jnp.float32), rois_m)
-                        mt = (crop > 0.5).astype(jnp.float32)
-                return (rois, rfeat7, rfeat14, lbl, regt, is_pos, valid,
-                        mt, lbl[midx], mvalid)
-
-            (rois_b, rfeat7, rfeat14, labels_b, regt_b, pos_b, valid_b,
-             mt_b, mlab_b, mvalid_b) = jax.vmap(stage_one)(
-                stage_rngs, props, pvalid, gt_boxes, gt_valid, gt_labels,
-                gt_masks, *feats[:4])  # RoI levels only (5th is RPN-only)
-
-            N = self.rcnn_sample
-            if ablate == "nobbhead":
-                cls_logits = jnp.zeros((B * N, self.num_classes + 1),
-                                       jnp.float32)
-                reg = jnp.zeros((B * N, 4), jnp.float32) + \
-                    1e-12 * rfeat7.reshape(B * N, -1)[:, :4]
-            else:
-                cls_logits, reg = bbox_heads[s](
-                    rfeat7.reshape(B * N, *rfeat7.shape[2:]))
-            labels = labels_b.reshape(B * N)
-            valid = valid_b.reshape(B * N)
-            is_pos = pos_b.reshape(B * N)
-            regt = regt_b.reshape(B * N, 4)
-            denom = jnp.maximum(valid.sum(), 1)
-            ce = -jax.nn.log_softmax(cls_logits.astype(jnp.float32))[
-                jnp.arange(labels.shape[0]), labels]
-            losses[f"s{s}_cls"] = STAGE_WEIGHTS[s] * \
-                jnp.sum(ce * valid) / denom
-            rl = smooth_l1(reg.astype(jnp.float32), regt, beta=1.0)
-            losses[f"s{s}_reg"] = STAGE_WEIGHTS[s] * \
-                jnp.sum(rl.sum(-1) * (is_pos & valid)) / denom
-
-            # mask branch on this stage's positives (shared head)
-            if ablate == "nomask":
+        # mask branch: shared head, ONE application on the 3-stage
+        # stack (3, B, M, 14, 14, C) — same math as per-stage calls
+        if ablate == "nomask":
+            for s in range(3):
                 losses[f"s{s}_mask"] = jnp.float32(0.0)
-            else:
-                M = rfeat14.shape[1]
-                mask_logits = mask_head(
-                    rfeat14.reshape(B * M, *rfeat14.shape[2:]))
-                mpos = mvalid_b.reshape(B * M)
-                mlab = mlab_b.reshape(B * M)
-                mt = mt_b.reshape(B * M, self.mask_size, self.mask_size)
-                sel = jnp.take_along_axis(
-                    mask_logits,
-                    jnp.clip(mlab, 0, self.num_classes - 1)[
-                        :, None, None, None], axis=-1)[..., 0]
-                sel = sel.astype(jnp.float32)
-                mbce = jnp.maximum(sel, 0) - sel * mt + \
-                    jnp.log1p(jnp.exp(-jnp.abs(sel)))
+        else:
+            rfeat14 = ys["rfeat14"]  # (3, B, M, 14, 14, C)
+            M = rfeat14.shape[2]
+            mask_logits = mask_head(
+                rfeat14.reshape(3 * B * M, *rfeat14.shape[3:]))
+            mpos = ys["mvalid"].reshape(3, B * M)
+            mlab = ys["mlab"].reshape(3 * B * M)
+            mt = ys["mt"].reshape(3 * B * M, self.mask_size,
+                                  self.mask_size)
+            sel = jnp.take_along_axis(
+                mask_logits,
+                jnp.clip(mlab, 0, self.num_classes - 1)[
+                    :, None, None, None], axis=-1)[..., 0]
+            sel = sel.astype(jnp.float32)
+            mbce = jnp.maximum(sel, 0) - sel * mt + \
+                jnp.log1p(jnp.exp(-jnp.abs(sel)))
+            per = mbce.mean(axis=(1, 2)).reshape(3, B * M)
+            for s in range(3):
                 losses[f"s{s}_mask"] = STAGE_WEIGHTS[s] * \
-                    jnp.sum(mbce.mean(axis=(1, 2)) * mpos) / \
-                    jnp.maximum(mpos.sum(), 1)
-
-            # refine proposals for the next stage (class-agnostic reg)
-            if s < 2:
-                reg_sg = jax.lax.stop_gradient(
-                    reg.reshape(B, self.rcnn_sample, 4))
-                props = delta_decode(
-                    rois_b, reg_sg, stds=stds,
-                    max_shape=(self.img_size, self.img_size))
-                pvalid = valid_b
+                    jnp.sum(per[s] * mpos[s]) / \
+                    jnp.maximum(mpos[s].sum(), 1)
 
         losses["loss"] = functools.reduce(
             jnp.add, [v for k, v in losses.items() if k != "loss"])
@@ -441,7 +522,7 @@ class CascadeMaskRCNN(nn.Module):
 
     # ------------------------------------------------------------------
     def _predict(self, feats, anchors, slices, rpn_logits, rpn_deltas,
-                 bbox_heads, mask_head, max_per_img: int = 100):
+                 mask_head, max_per_img: int = 100):
         """Cascade inference: refine proposals through the 3 stages,
         average the per-stage class scores, class-wise NMS, mask head on
         the survivors. Returns dict of padded (B, max_per_img, …) arrays
@@ -463,16 +544,18 @@ class CascadeMaskRCNN(nn.Module):
             lambda f0, f1, f2, f3, r, size: multilevel_roi_align(
                 [f0, f1, f2, f3], r, size, ROI_STRIDES),
             in_axes=(0, 0, 0, 0, 0, None))
-        scores_sum = 0.0
-        for s in range(3):
-            rfeat = roi_align_b(*lvl_feats, rois, 7)
-            cls_logits, reg = bbox_heads[s](
-                rfeat.reshape(B * P, *rfeat.shape[2:]))
-            scores_sum = scores_sum + jax.nn.softmax(
-                cls_logits.reshape(B, P, -1).astype(jnp.float32), -1)
-            rois = delta_decode(rois, reg.reshape(B, P, 4),
-                                stds=STAGE_STDS[s],
-                                max_shape=(self.img_size, self.img_size))
+        # scan over the 3 refinement stages (one traced RoIAlign+head
+        # body); binds the same stacked "stages/head" params as training
+        stages = nn.scan(
+            _CascadeStageEval,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=(0, nn.broadcast), length=3,
+        )(self.num_classes, self.img_size, dtype=self.dtype,
+          name="stages")
+        (rois, scores_sum), _ = stages(
+            (rois, jnp.zeros((B, P, self.num_classes + 1), jnp.float32)),
+            jnp.asarray(STAGE_STDS, jnp.float32), tuple(lvl_feats))
         probs = (scores_sum / 3.0)[..., :self.num_classes]  # drop bg
         # class-wise NMS via coordinate offsetting, on the top
         # candidates only (a P·C NMS would need a (P·C)² IoU matrix)

@@ -206,3 +206,28 @@ def test_vitdet_layer_decay_rule():
         pytest.approx(0.7 ** 1)
     assert p["neck"]["lateral_0"]["kernel"] == 1.0
     assert p["rpn"]["rpn_cls"]["kernel"] == 1.0
+
+
+def test_scan_stages_stacked_params_and_grads(det_setup):
+    """Scan-over-stages (VERDICT r3 #6): the 3 bbox heads live as ONE
+    stacked (3, ...) tree under "stages/head", the stage slices are
+    independently initialized, and gradients flow to EVERY stage slice
+    (a broken scan would zero later stages)."""
+    model, params, batch = det_setup
+    head = params["params"]["stages"]["head"]
+    k = head["fc1"]["kernel"]
+    assert k.shape[0] == 3
+    # per-stage init differs (split_rngs={"params": True})
+    assert not np.allclose(np.asarray(k[0]), np.asarray(k[1]))
+
+    def loss_fn(p):
+        return model.apply(
+            p, batch["image"], gt_boxes=batch["boxes"],
+            gt_labels=batch["labels"], gt_masks=batch["masks"],
+            gt_valid=batch["gt_valid"],
+            rngs={"sampler": jax.random.PRNGKey(3)})["loss"]
+
+    grads = jax.grad(loss_fn)(params)
+    gk = np.asarray(grads["params"]["stages"]["head"]["fc1"]["kernel"])
+    for s in range(3):
+        assert np.abs(gk[s]).max() > 0, f"stage {s} got zero grads"
