@@ -42,17 +42,19 @@ def build(img, batch, layer_fused, ablate):
                           jnp.bfloat16)
     params = model.init(jax.random.PRNGKey(0), x)
 
+    # x/params must be jit ARGUMENTS — big closure constants break the
+    # remote relay (CLAUDE.md, relay HTTP 413 / constant materialization)
     @jax.jit
-    def run(params, n):
+    def run(params, x, n):
         def body(i, s):
             out = model.apply(params, x + s)
             return jnp.sum(out.astype(jnp.float32)) * 1e-30
 
         return lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    float(run(params, 1))  # compile under this env
+    float(run(params, x, 1))  # compile under this env
     os.environ.pop("FASTVIM_COMPONENT_ABLATE", None)
-    return run, params
+    return run, params, x
 
 
 def main():
@@ -76,10 +78,10 @@ def main():
     n1, n2 = 4, 12
     best = {k: [float("inf")] * 2 for k in progs}
     for _ in range(args.reps):
-        for name, (run, params) in progs.items():
+        for name, (run, params, x) in progs.items():
             for j, n in enumerate((n1, n2)):
                 t0 = time.perf_counter()
-                float(run(params, n))
+                float(run(params, x, n))
                 best[name][j] = min(best[name][j],
                                     time.perf_counter() - t0)
     out = {}
