@@ -44,6 +44,27 @@ class CSVLogger:
                 w.writeheader()
             w.writerow(row)
 
+    def truncate_from_epoch(self, epoch: int):
+        """Drop rows with epoch >= ``epoch`` (crash-resume re-runs them).
+
+        A row is logged before its epoch's checkpoint finishes writing,
+        so a crash between the two leaves a logged epoch whose state was
+        lost; on resume that epoch runs again and would otherwise appear
+        twice in the log.
+        """
+        if not os.path.exists(self.path):
+            return
+        with open(self.path, newline="") as f:
+            rows = list(csv.DictReader(f))
+        kept = [r for r in rows if int(float(r["epoch"])) < epoch]
+        if len(kept) == len(rows):
+            return
+        with open(self.path, "w", newline="") as f:
+            if rows:
+                w = csv.DictWriter(f, fieldnames=list(rows[0]))
+                w.writeheader()
+                w.writerows(kept)
+
 
 def _batch_size(batch) -> int:
     """Leading-dim example count of a batch pytree (dict/tuple/array)."""
@@ -96,6 +117,8 @@ def run_training(
             steps_per_epoch = max(len(train_loader), 1)
             start_epoch = int(restored["step"]) // steps_per_epoch
             print(f"resumed from {path} at epoch {start_epoch}")
+            if logger is not None:
+                logger.truncate_from_epoch(start_epoch)
 
     for epoch in range(start_epoch, epochs):
         t_epoch = time.perf_counter()

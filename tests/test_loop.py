@@ -74,6 +74,40 @@ def test_loop_logs_checkpoints_and_resumes(tmp_path):
     assert int(state2.step) == 9  # resumed at 6, ran 1 more epoch of 3
 
 
+def test_resume_truncates_relogged_epochs(tmp_path):
+    """A row is logged before its epoch's checkpoint is written, so a
+    crash between the two leaves a logged epoch whose state was lost.
+    Resume re-runs that epoch; the log must not contain it twice."""
+    import csv
+
+    import optax
+
+    from fastvim_tpu.train import TrainState
+
+    def make_state():
+        return TrainState.create({"w": jnp.zeros(())}, optax.sgd(0.0))
+
+    def train_step(state, batch, rng):
+        return state.apply_gradients(grads={"w": jnp.zeros(())}), {}
+
+    loader = [{"x": np.zeros((2,), np.float32)}]
+    save_dir = str(tmp_path / "crash")
+    # ckpt_every=2 -> epochs 0,1,2 are logged but only epoch 1's
+    # checkpoint (step 2) exists: epoch 2 is the "lost" epoch.
+    run_training(state=make_state(), train_step=train_step,
+                 train_loader=loader, epochs=3,
+                 rng=jax.random.PRNGKey(0), save_dir=save_dir,
+                 ckpt_every=2)
+    state2 = run_training(state=make_state(), train_step=train_step,
+                          train_loader=loader, epochs=4,
+                          rng=jax.random.PRNGKey(0), save_dir=save_dir,
+                          ckpt_every=2, resume=True)
+    assert int(state2.step) == 4  # resumed at step 2, ran epochs 2,3
+    with open(os.path.join(save_dir, "log.csv")) as f:
+        epochs = [int(float(r["epoch"])) for r in csv.DictReader(f)]
+    assert epochs == [0, 1, 2, 3]
+
+
 def test_eval_metrics_weighted_by_batch_size(tmp_path):
     """A ragged final val batch must not skew the epoch metric: per-batch
     means are weighted by batch size (VERDICT r3 weak #3). Batches of
