@@ -54,11 +54,16 @@ def _prune(ckpt_dir: str, keep: int) -> None:
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    # abspath: orbax rejects relative paths at restore time, and a relative
+    # --model_save_dir otherwise crashes resume (save_checkpoint already
+    # abspaths its side).
+    ckpt_dir = os.path.abspath(ckpt_dir)
     if not os.path.isdir(ckpt_dir):
         return None
     steps = sorted(
         (int(d.split("_")[1]), d) for d in os.listdir(ckpt_dir)
-        if d.startswith("step_") and d.split("_")[1].isdigit())
+        if d.startswith("step_") and d.split("_")[1].isdigit()
+        and not d.endswith(".orbax-checkpoint-tmp"))
     if not steps:
         return None
     return os.path.join(ckpt_dir, steps[-1][1])
@@ -66,6 +71,7 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
 
 def restore_checkpoint(path: str, template: Optional[Any] = None):
     ocp = _ocp()
+    path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
     if template is not None:
         return ckptr.restore(path, item=template)

@@ -40,6 +40,19 @@ def test_save_restore_roundtrip(tmp_path):
     assert int(restored["step"]) == 0
 
 
+def test_restore_with_relative_path(tmp_path, monkeypatch):
+    """Resume must work with a relative --model_save_dir: orbax rejects
+    relative paths, so latest_checkpoint/restore_checkpoint abspath them
+    (regression: the digits64 campaign resume crashed here)."""
+    model, state = make_state()
+    monkeypatch.chdir(tmp_path)
+    save_checkpoint("ckpt", state)
+    path = latest_checkpoint("ckpt")
+    assert os.path.isabs(path)
+    restored = restore_checkpoint(os.path.relpath(path))
+    assert int(restored["step"]) == 0
+
+
 def test_checkpoint_pruning(tmp_path):
     model, state = make_state()
     ckpt_dir = str(tmp_path / "ckpt")
