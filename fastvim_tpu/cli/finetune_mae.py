@@ -39,6 +39,7 @@ def main(argv=None):
     model = create_model(
         cfg["model"], img_size=cfg["img_size"],
         num_classes=cfg["num_classes"],
+        **({"patch_size": cfg["patch_size"]} if "patch_size" in cfg else {}),
         drop_path_rate=cfg.get("drop_path_rate", 0.3),
         scaling_factor=cfg.get("scaling_factor", 0.25),
         scanpath_type=cfg.get("scanpath_type", "rowwise"),
@@ -61,9 +62,13 @@ def main(argv=None):
     ckpt = cfg.get("pretrained_checkpoint_path")
     if ckpt:
         grid = cfg["img_size"] // cfg["patch_size"]
+        # pretrain resolution defaults to the reference's 224; override
+        # when finetuning from a non-224 pretrain (e.g. digits64)
+        pre_img = cfg.get("pretrain_img_size", 224)
         params = load_pretrained_backbone(
             ckpt, params, prefer_ema=False, new_grid=(grid, grid),
-            old_grid=(224 // cfg["patch_size"], 224 // cfg["patch_size"]),
+            old_grid=(pre_img // cfg["patch_size"],
+                      pre_img // cfg["patch_size"]),
             scanpath_type=cfg.get("scanpath_type", "rowwise"))
 
     steps_per_epoch = max(len(train_loader), 1)

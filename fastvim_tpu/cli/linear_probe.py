@@ -57,6 +57,7 @@ def main(argv=None):
     mesh, shard_fn = setup_mesh()
     backbone = create_model(
         cfg["model"], img_size=cfg["img_size"], num_classes=0,
+        **({"patch_size": cfg["patch_size"]} if "patch_size" in cfg else {}),
         drop_path_rate=0.0, scaling_factor=cfg.get("scaling_factor", 0.25),
         layer_fused=cfg.get("layer_fused", "auto"))
     head = ProbeHead(cfg["num_classes"])
@@ -89,8 +90,11 @@ def main(argv=None):
                   weight_decay=cfg.get("weight_decay", 0.0))
     state = TrainState.create(head_params, tx)
 
+    # backbone params ride as a jit ARGUMENT, not a closure constant:
+    # constants are baked into the program (new checkpoint = full remote
+    # recompile; big models also blow the relay's HTTP body cap)
     @jax.jit
-    def train_step(state, batch, rng):
+    def _train_step(state, bb_params, batch, rng):
         feats = jax.lax.stop_gradient(
             backbone.apply(bb_params, batch["image"], return_features=True))
         bstats = state.params["batch_stats"]
@@ -116,12 +120,20 @@ def main(argv=None):
                        "train_acc": accuracy(logits, batch["label"])}
 
     @jax.jit
-    def eval_step(head_params, batch):
+    def _eval_step(head_params, bb_params, batch):
         feats = backbone.apply(bb_params, batch["image"],
                                return_features=True)
         logits = head.apply(head_params, feats, train=False)
         return {"loss": cross_entropy(logits, batch["label"]),
                 "acc": accuracy(logits, batch["label"])}
+
+    # adapt to run_training's (state, batch, rng)/(params, batch)
+    # signatures while keeping bb_params a device argument
+    def train_step(state, batch, rng):
+        return _train_step(state, bb_params, batch, rng)
+
+    def eval_step(head_params, batch):
+        return _eval_step(head_params, bb_params, batch)
 
     state = run_training(
         state=state, train_step=train_step, train_loader=train_loader,

@@ -36,6 +36,9 @@ def main(argv=None):
     mesh, shard_fn = setup_mesh()
     model = create_model(
         cfg["model"], img_size=cfg["img_size"],
+        # override the registered patch size when the config names one
+        # (the digits64 campaign runs 64px/patch8)
+        **({"patch_size": cfg["patch_size"]} if "patch_size" in cfg else {}),
         norm_pix_loss=cfg.get("norm_pix_loss", True),
         scanpath_type=cfg.get("scanpath_type", "rowwise"),
         rotate_every_block=cfg.get("rotate_every_block", True),

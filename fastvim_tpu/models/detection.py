@@ -283,9 +283,16 @@ class _CascadeStageTrain(nn.Module):
         props_next = delta_decode(rois_b, reg_sg, stds=xs["stds"],
                                   max_shape=(self.img_size,
                                              self.img_size))
+        # the scan carry has a fixed width W: each stage refines exactly
+        # N=rcnn_sample rois, so pad back to W (the caller pads the
+        # initial proposals to max(P, N), guaranteeing N <= W; padded
+        # slots are invalid and excluded via the assigner's -2 marking)
+        W = props.shape[1]
+        props_next = jnp.pad(props_next, ((0, 0), (0, W - N), (0, 0)))
+        valid_next = jnp.pad(valid_b, ((0, 0), (0, W - N)))
         ys = dict(cls=cls_l, reg=reg_l, rfeat14=rfeat14, mt=mt_b,
                   mlab=mlab_b, mvalid=mvalid_b)
-        return (props_next, valid_b), ys
+        return (props_next, valid_next), ys
 
 
 class _CascadeStageEval(nn.Module):
@@ -481,6 +488,13 @@ class CascadeMaskRCNN(nn.Module):
             in_axes=(0, nn.broadcast, nn.broadcast), length=3,
         )(self.num_classes, self.rcnn_sample, self.mask_size,
           self.img_size, dtype=self.dtype, name="stages")
+        # fixed carry width: stage outputs are rcnn_sample rois while the
+        # RPN supplies num_proposals — pad the initial carry to the max
+        # of the two (equal at 512/512 in the production configs)
+        if props.shape[1] < self.rcnn_sample:
+            pad = self.rcnn_sample - props.shape[1]
+            props = jnp.pad(props, ((0, 0), (0, pad), (0, 0)))
+            pvalid = jnp.pad(pvalid, ((0, 0), (0, pad)))
         _, ys = stages(
             (props, pvalid), _stage_xs(),
             (gt_boxes, gt_valid, gt_labels, gt_masks),

@@ -114,11 +114,25 @@ def load_pretrained_backbone(
                   for k, v in flat_s.items()}
 
     out = {}
-    loaded, skipped = 0, 0
+    loaded, skipped, synthesized = 0, 0, 0
     for kpath, tleaf in flat_t.items():
         sleaf = flat_s.get(kpath)
         name = "/".join(str(getattr(k, "key", k)) for k in kpath)
         if sleaf is None:
+            # MAE encoders use FIXED sincos position embeddings (a torch
+            # buffer in the reference, so it rides state_dict into the
+            # finetune/probe model — models_mamba_faster_mae_vimdecoder.py
+            # pos_embed requires_grad=False); orbax stores only params, so
+            # reproduce the buffer transfer by synthesizing the same table.
+            grid = int(round(tleaf.shape[1] ** 0.5)) if tleaf.ndim == 3 \
+                else 0
+            if name.endswith("pos_embed") and tleaf.ndim == 3 \
+                    and grid * grid == tleaf.shape[1]:
+                from fastvim_tpu.models.mae import get_2d_sincos_pos_embed
+                out[kpath] = jnp.asarray(get_2d_sincos_pos_embed(
+                    tleaf.shape[2], grid))[None].astype(tleaf.dtype)
+                synthesized += 1
+                continue
             out[kpath] = tleaf
             skipped += 1
             continue
@@ -132,7 +146,8 @@ def load_pretrained_backbone(
             continue
         out[kpath] = sleaf.astype(tleaf.dtype)
         loaded += 1
-    print(f"load_pretrained_backbone: loaded {loaded}, kept-init {skipped}")
+    print(f"load_pretrained_backbone: loaded {loaded}, kept-init {skipped},"
+          f" sincos-filled {synthesized}")
     return jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(target_params),
         [out[k] for k, _ in jax.tree_util.tree_flatten_with_path(

@@ -63,6 +63,30 @@ def test_checkpoint_pruning(tmp_path):
     assert kept == ["step_4", "step_5", "step_6"]
 
 
+def test_load_pretrained_sincos_fill(tmp_path):
+    """MAE checkpoints carry NO pos_embed param (fixed sincos, a torch
+    buffer in the reference); transfer must synthesize the same sincos
+    table into the target's learnable pos_embed instead of leaving its
+    random init frozen (mae/models_mamba_faster_mae_vimdecoder.py)."""
+    from fastvim_tpu.models.mae import get_2d_sincos_pos_embed
+
+    model, state = make_state(img=16)  # grid 2x2, embed 32
+    # simulate an MAE checkpoint: params WITHOUT pos_embed
+    params = jax.device_get(state.params)
+    del params["params"]["pos_embed"]
+    pruned = TrainState.create(
+        params, make_optimizer(cosine_with_warmup(1e-3, 0, 10, 1),
+                               weight_decay=0.01, params=params))
+    path = save_checkpoint(str(tmp_path / "c"), pruned)
+
+    target = model.init(jax.random.PRNGKey(3), jnp.zeros((1, 16, 16, 3)))
+    merged = load_pretrained_backbone(path, target, prefer_ema=False)
+    np.testing.assert_allclose(
+        np.asarray(merged["params"]["pos_embed"]),
+        get_2d_sincos_pos_embed(32, 2)[None].astype(np.float32),
+        rtol=1e-6)
+
+
 def test_load_pretrained_with_pos_embed_resize(tmp_path):
     """MAE→finetune style transfer with grid change 2x2 → 4x4
     (models/fastvim.py:779-817)."""
