@@ -86,12 +86,16 @@ def main(argv=None):
         grad_clip=None if clip is None or clip < 0 else clip)
     state = TrainState.create(params, tx, ema=False)
 
+    # gate like train_classification.py: beta(0,0) sampling is NaN, so
+    # mixup/cutmix must be OFF (config=None) when both alphas are 0
+    mixup_cfg = None
+    if cfg.get("mixup", 0.8) or cfg.get("cutmix", 1.0):
+        mixup_cfg = dict(mixup_alpha=cfg.get("mixup", 0.8),
+                         cutmix_alpha=cfg.get("cutmix", 1.0),
+                         prob=cfg.get("mixup_prob", 1.0),
+                         switch_prob=cfg.get("mixup_switch_prob", 0.5))
     train_step = make_supervised_train_step(
-        model, cfg["num_classes"],
-        mixup_config=dict(mixup_alpha=cfg.get("mixup", 0.8),
-                          cutmix_alpha=cfg.get("cutmix", 1.0),
-                          prob=cfg.get("mixup_prob", 1.0),
-                          switch_prob=cfg.get("mixup_switch_prob", 0.5)),
+        model, cfg["num_classes"], mixup_config=mixup_cfg,
         label_smoothing=cfg.get("label_smoothing", 0.1), ema_decay=None)
     eval_step = make_supervised_eval_step(model)
 

@@ -57,9 +57,18 @@ def mixup_cutmix(
     y1 = one_hot_smooth(labels, num_classes, smoothing)
     y2 = y1[::-1]
 
-    use_cutmix = jax.random.bernoulli(r_switch, switch_prob)
-    lam_m = jax.random.beta(r_lam_m, mixup_alpha, mixup_alpha)
-    lam_c = jax.random.beta(r_lam_c, cutmix_alpha, cutmix_alpha)
+    # alphas are static floats: beta(0,0) samples NaN, so a disabled
+    # mode must never be sampled or selected (timm Mixup only switches
+    # between modes whose alpha > 0; with both zero the caller should
+    # pass mixup_config=None, but degrade to identity rather than NaN)
+    lam_m = (jax.random.beta(r_lam_m, mixup_alpha, mixup_alpha)
+             if mixup_alpha > 0 else jnp.float32(1.0))
+    lam_c = (jax.random.beta(r_lam_c, cutmix_alpha, cutmix_alpha)
+             if cutmix_alpha > 0 else jnp.float32(1.0))
+    if mixup_alpha > 0 and cutmix_alpha > 0:
+        use_cutmix = jax.random.bernoulli(r_switch, switch_prob)
+    else:
+        use_cutmix = jnp.bool_(cutmix_alpha > 0)
 
     # mixup branch
     mixed_m = images * lam_m + perm_images * (1 - lam_m)

@@ -109,6 +109,28 @@ def test_mixup_targets_sum_to_one():
     np.testing.assert_allclose(np.asarray(soft.sum(-1)), 1.0, rtol=1e-5)
 
 
+def test_mixup_zero_alpha_finite():
+    """beta(0,0) is NaN — a disabled mode (alpha=0) must degrade to the
+    other mode (or identity), never poison the batch (regression: the
+    digits64 finetune leg NaN'd from step 0 with mixup=cutmix=0)."""
+    rng = jax.random.PRNGKey(0)
+    images = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 3))
+    labels = jnp.array([0, 1, 2, 3])
+    for m_a, c_a in [(0.0, 0.0), (0.0, 1.0), (0.8, 0.0)]:
+        mixed, soft = mixup_cutmix(rng, images, labels, 10,
+                                   mixup_alpha=m_a, cutmix_alpha=c_a,
+                                   smoothing=0.1)
+        assert np.isfinite(np.asarray(mixed)).all(), (m_a, c_a)
+        assert np.isfinite(np.asarray(soft)).all(), (m_a, c_a)
+        np.testing.assert_allclose(np.asarray(soft.sum(-1)), 1.0,
+                                   rtol=1e-5)
+    # both-zero degrades to identity images
+    mixed, _ = mixup_cutmix(rng, images, labels, 10, mixup_alpha=0.0,
+                            cutmix_alpha=0.0, smoothing=0.0)
+    np.testing.assert_allclose(np.asarray(mixed), np.asarray(images),
+                               rtol=1e-6)
+
+
 def tiny_model():
     return VisionMamba(img_size=16, patch_size=8, depth=2, embed_dim=32,
                        num_classes=5, drop_path_rate=0.0,
