@@ -142,44 +142,74 @@ FAMILY_GUARDS = {
 }
 
 
-def families(tol: float = 0.15):
-    """Per-family step throughput + guard (reuses the family harnesses;
-    benchmarks/family_tpu.py, benchmarks/det_seg_tpu.py)."""
+def _family_value(key: str) -> float:
+    """Measure one family's throughput in THIS process."""
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "benchmarks"))
+    if key == "mae_base_pretrain_img_s":
+        from family_tpu import bench_mae
+
+        return bench_mae("mae_FastVim_base_dec512d2b", 224,
+                         16)["img_per_s"]
+    if key == "channelvim_s_train_img_s":
+        from family_tpu import bench_channel
+
+        return bench_channel("fastchannelvim_small_ps16", 224,
+                             8)["train"]["img_per_s"]
+    if key == "fastvim_t_224_train_img_s":
+        return train_throughput("fastvim_tiny", 224, 40)
+    if key == "det_512_b8_train_img_s":
+        from det_seg_tpu import bench_detection
+
+        return bench_detection(512, 8)["img_per_s"]
+    if key == "seg_512_b8_train_img_s":
+        from det_seg_tpu import bench_segmentation
+
+        return bench_segmentation(512, 8)["img_per_s"]
+    raise KeyError(key)
+
+
+def families(tol: float = 0.15, per_family_timeout: int = 2400):
+    """Per-family step throughput + guard (reuses the family harnesses;
+    benchmarks/family_tpu.py, benchmarks/det_seg_tpu.py).
+
+    Each family runs in a FRESH SUBPROCESS (``bench.py --family KEY``):
+    the guard values were measured in fresh processes, and the first
+    in-process run showed both failure modes isolation prevents —
+    Pallas-routed families measured 35-43% low after the headline
+    programs had run in the same process, and a TPU-worker crash in the
+    detection family poisoned every measurement after it. Compiles
+    dominate family cost anyway, so isolation adds only interpreter
+    startup."""
+    import subprocess
+
     out, ok = {}, True
-
-    def record(key, fn):
-        nonlocal ok
-        guard = FAMILY_GUARDS[key]
+    for key, guard in FAMILY_GUARDS.items():
+        entry = None
         try:
-            v = float(fn())
-            passed = v >= (1 - tol) * guard
-            out[key] = {"img_per_s": round(v, 1), "guard": guard,
-                        "ok": passed}
-            ok &= passed
-        except Exception as e:  # noqa: BLE001 — one family must not kill the bench
-            out[key] = {"error": str(e)[:160], "guard": guard,
-                        "ok": False}
-            ok = False
-        print(json.dumps({key: out[key]}), flush=True)
-
-    from family_tpu import bench_channel, bench_mae
-
-    record("mae_base_pretrain_img_s",
-           lambda: bench_mae("mae_FastVim_base_dec512d2b", 224,
-                             16)["img_per_s"])
-    record("channelvim_s_train_img_s",
-           lambda: bench_channel("fastchannelvim_small_ps16", 224,
-                                 8)["train"]["img_per_s"])
-    record("fastvim_t_224_train_img_s",
-           lambda: train_throughput("fastvim_tiny", 224, 40))
-    from det_seg_tpu import bench_detection, bench_segmentation
-
-    record("det_512_b8_train_img_s",
-           lambda: bench_detection(512, 8)["img_per_s"])
-    record("seg_512_b8_train_img_s",
-           lambda: bench_segmentation(512, 8)["img_per_s"])
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--family", key],
+                capture_output=True, text=True,
+                timeout=per_family_timeout)
+            for line in reversed(proc.stdout.strip().splitlines()):
+                try:
+                    entry = json.loads(line)
+                    break
+                except json.JSONDecodeError:
+                    continue
+            if entry is None:
+                entry = {"error": (proc.stderr or "no output")[-160:]}
+        except subprocess.TimeoutExpired:
+            entry = {"error": f"timeout after {per_family_timeout}s"}
+        if "img_per_s" in entry:
+            passed = entry["img_per_s"] >= (1 - tol) * guard
+        else:
+            passed = False
+        entry.update(guard=guard, ok=passed)
+        out[key] = entry
+        ok &= passed
+        print(json.dumps({key: entry}), flush=True)
     return out, ok
 
 
@@ -280,7 +310,15 @@ if __name__ == "__main__":
                          "fresh sweep instead of running the bench")
     ap.add_argument("--skip_families", action="store_true",
                     help="headline numbers only (family guards skipped)")
+    ap.add_argument("--family", default=None, choices=sorted(FAMILY_GUARDS),
+                    help="measure ONE family in this process and print "
+                         "{'img_per_s': N} (families() subprocess mode)")
     args = ap.parse_args()
     if args.sweep:
         sys.exit(sweep())
+    if args.family:
+        print(json.dumps(
+            {"img_per_s": round(float(_family_value(args.family)), 1)}),
+            flush=True)
+        sys.exit(0)
     main(skip_families=args.skip_families)

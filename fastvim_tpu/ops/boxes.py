@@ -121,9 +121,12 @@ def box_iou(a: Array, b: Array) -> Array:
 # static NMS
 # --------------------------------------------------------------------
 
-def nms(boxes: Array, scores: Array, iou_threshold: float,
-        max_out: int) -> Tuple[Array, Array]:
-    """Greedy NMS with static shapes.
+def nms_scan(boxes: Array, scores: Array, iou_threshold: float,
+             max_out: int) -> Tuple[Array, Array]:
+    """Greedy NMS as the literal sequential recurrence: max_out rounds
+    of argmax + suppress. The direct transcription of the torchvision/
+    mmcv semantics — kept as the parity oracle for `nms`, whose
+    fixpoint formulation removes the max_out-deep dependency chain.
 
     Returns (indices (max_out,), valid (max_out,) bool). Suppressed /
     exhausted slots have valid=False (index clamps to 0 for safe gather).
@@ -147,6 +150,55 @@ def nms(boxes: Array, scores: Array, iou_threshold: float,
         body, (jnp.where(jnp.isfinite(scores), scores, -jnp.inf),),
         None, length=max_out)
     return idx, valid
+
+
+def nms(boxes: Array, scores: Array, iou_threshold: float,
+        max_out: int) -> Tuple[Array, Array]:
+    """EXACT greedy NMS with static shapes, as a suppression fixpoint.
+
+    Greedy NMS in descending score order keeps box j iff no
+    higher-scored KEPT box overlaps it above the threshold — a forward
+    recurrence keep_j = f(keep_{<j}) with a unique solution. Iterating
+    its vectorized form
+
+        keep ← finite ∧ ¬ any_i (tri_ij ∧ keep_i),   tri = upper-tri IoU>thr
+
+    from keep⁰ = finite converges to that unique fixpoint (box at
+    sorted position j is stable after ≤ j+1 rounds; exit on no-change
+    is exact because any fixpoint of the recurrence IS the greedy
+    solution). Convergence takes suppression-chain-depth iterations —
+    a handful in practice — each one (n,n) bool mask+reduce on the
+    VPU, instead of `nms_scan`'s max_out sequential argmax rounds
+    (512-deep dependency chain at RPN scale). Tie-handling matches the
+    scan (stable argsort ≙ first-index argmax).
+
+    Returns (indices (max_out,), valid (max_out,) bool) identical to
+    `nms_scan` (parity-locked in tests/test_boxes.py).
+    """
+    n = boxes.shape[0]
+    finite = jnp.isfinite(scores)
+    order = jnp.argsort(-jnp.where(finite, scores, -jnp.inf))
+    b = boxes[order]
+    tri = jnp.triu(box_iou(b, b) > iou_threshold, k=1)
+    fin = finite[order]
+
+    def body(st):
+        k, _, it = st
+        k_new = fin & ~(tri & k[:, None]).any(axis=0)
+        return k_new, jnp.any(k_new != k), it + 1
+
+    k, changed, it = body((fin, jnp.bool_(True), jnp.int32(0)))
+    k, _, _ = jax.lax.while_loop(
+        lambda st: st[1] & (st[2] < n), body, (k, changed, it))
+
+    # pack the first max_out kept (sorted order = selection order)
+    rank = jnp.cumsum(k) - 1
+    sel = k & (rank < max_out)
+    out_idx = jnp.zeros((max_out,), jnp.int32)
+    out_idx = out_idx.at[jnp.where(sel, rank, max_out)[:n]].set(
+        order.astype(jnp.int32), mode="drop")
+    out_valid = jnp.arange(max_out) < sel.sum()
+    return out_idx, out_valid
 
 
 def fast_nms(boxes: Array, scores: Array, iou_threshold: float,

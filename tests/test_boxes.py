@@ -66,6 +66,54 @@ def test_nms_matches_naive():
     assert got == expected
 
 
+def test_nms_fixpoint_matches_scan():
+    """The fixpoint `nms` must reproduce the sequential `nms_scan`
+    exactly — indices AND validity — across random geometries,
+    thresholds, caps, -inf scores, and a worst-case deep alternating
+    suppression chain (the slowest-converging input)."""
+    from fastvim_tpu.ops.boxes import nms_scan
+
+    rng = np.random.default_rng(7)
+    for trial, (n, thr, cap) in enumerate(
+            [(30, 0.5, 30), (64, 0.3, 16), (128, 0.7, 64),
+             (50, 0.5, 100)]):
+        xy = rng.uniform(0, 40, (n, 2))
+        boxes = np.concatenate([xy, xy + rng.uniform(5, 30, (n, 2))], 1)
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        if trial % 2:  # sprinkle invalid candidates
+            scores[:: 5] = -np.inf
+        i1, v1 = nms_scan(jnp.asarray(boxes), jnp.asarray(scores),
+                          thr, cap)
+        i2, v2 = nms(jnp.asarray(boxes), jnp.asarray(scores), thr, cap)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_array_equal(np.asarray(i1)[np.asarray(v1)],
+                                      np.asarray(i2)[np.asarray(v2)])
+
+    # deep chain: box k overlaps only box k+1, scores descending, so
+    # greedy keeps the evens — fast-NMS-style one-shot would keep only
+    # box 0 wrong-free but suppress the re-enabled evens; the fixpoint
+    # must iterate ~chain-depth rounds to get this right
+    n = 40
+    boxes = np.stack([np.arange(n) * 6.0, np.zeros(n),
+                      np.arange(n) * 6.0 + 10.0, np.full(n, 10.0)], 1)
+    scores = np.linspace(1.0, 0.5, n).astype(np.float32)
+    i1, v1 = nms_scan(jnp.asarray(boxes), jnp.asarray(scores), 0.2, n)
+    i2, v2 = nms(jnp.asarray(boxes), jnp.asarray(scores), 0.2, n)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(i1)[np.asarray(v1)],
+                                  np.asarray(i2)[np.asarray(v2)])
+    assert list(np.asarray(i2)[np.asarray(v2)]) == list(range(0, n, 2))
+
+    # vmapped + jitted (the eval path's usage shape)
+    b = jnp.asarray(np.stack([boxes, boxes[::-1]]))
+    s = jnp.asarray(np.stack([scores, scores]))
+    f = jax.jit(jax.vmap(lambda bb, ss: nms(bb, ss, 0.2, 16)))
+    ib, vb = f(b, s)
+    i1, v1 = nms(b[1], s[1], 0.2, 16)
+    np.testing.assert_array_equal(np.asarray(ib[1]), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(vb[1]), np.asarray(v1))
+
+
 def test_max_iou_assign_semantics():
     gt = jnp.asarray([[0, 0, 10, 10], [20, 20, 40, 40],
                       [0, 0, 1, 1]], jnp.float32)
