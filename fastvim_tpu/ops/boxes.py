@@ -153,7 +153,7 @@ def nms_scan(boxes: Array, scores: Array, iou_threshold: float,
 
 
 def nms(boxes: Array, scores: Array, iou_threshold: float,
-        max_out: int) -> Tuple[Array, Array]:
+        max_out: int, max_rounds: int = 65) -> Tuple[Array, Array]:
     """EXACT greedy NMS with static shapes, as a suppression fixpoint.
 
     Greedy NMS in descending score order keeps box j iff no
@@ -174,8 +174,22 @@ def nms(boxes: Array, scores: Array, iou_threshold: float,
 
     Returns (indices (max_out,), valid (max_out,) bool) identical to
     `nms_scan` (parity-locked in tests/test_boxes.py).
+
+    ``max_rounds`` bounds adversarial inputs (a length-n suppression
+    chain needs n rounds of (n,n) work; eval is where hostile box
+    layouts occur). The cap is safe because the iteration ALTERNATES
+    around the fixpoint K*: k⁰ = all-finite ⊇ K*, and each round maps
+    supersets to subsets and back (suppressing with more keepers keeps
+    fewer, and vice versa) — so stopping after an ODD round count
+    yields a mask that is exact on the first `rounds` sorted positions
+    (position j is stable after ≤ j+1 rounds) and a conservative
+    SUBSET of the greedy keep beyond them: capped NMS never keeps a
+    box exact greedy would suppress. The default (65, forced odd
+    below) exceeds every realistic chain depth; tests lock both the
+    exact regime and the capped-subset guarantee (test_boxes.py).
     """
     n = boxes.shape[0]
+    max_rounds |= 1  # odd ⇒ capped exit is a subset of the fixpoint
     finite = jnp.isfinite(scores)
     order = jnp.argsort(-jnp.where(finite, scores, -jnp.inf))
     b = boxes[order]
@@ -189,7 +203,8 @@ def nms(boxes: Array, scores: Array, iou_threshold: float,
 
     k, changed, it = body((fin, jnp.bool_(True), jnp.int32(0)))
     k, _, _ = jax.lax.while_loop(
-        lambda st: st[1] & (st[2] < n), body, (k, changed, it))
+        lambda st: st[1] & (st[2] < min(n, max_rounds)), body,
+        (k, changed, it))
 
     # pack the first max_out kept (sorted order = selection order)
     rank = jnp.cumsum(k) - 1
