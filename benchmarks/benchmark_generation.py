@@ -26,6 +26,12 @@ def main():
     p.add_argument("--genlen", type=int, default=100)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--repeats", type=int, default=3)
+    # full reference sampling surface (benchmark_generation_mamba_simple
+    # .py:15-18): temperature / topk / topp / repetition-penalty
+    p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--topk", type=int, default=1)
+    p.add_argument("--topp", type=float, default=1.0)
+    p.add_argument("--repetition_penalty", type=float, default=1.0)
     args = p.parse_args()
 
     from fastvim_tpu.models.lm import MambaLMHeadModel, generate
@@ -43,7 +49,9 @@ def main():
     # genlen (fused prefill + lax.scan decode loop).
     def run(genlen):
         out = generate(model, params, prompt, max_new_tokens=genlen,
-                       temperature=0.0)
+                       temperature=args.temperature, top_k=args.topk,
+                       top_p=args.topp,
+                       repetition_penalty=args.repetition_penalty)
         return int(out[0, -1])
 
     n1, n2 = args.genlen, args.genlen * 3

@@ -192,40 +192,108 @@ class MambaLMHeadModel(nn.Module):
         return logits
 
 
+def prepare_logits(logits: Array, temperature: float = 1.0,
+                   top_k: Optional[int] = None, top_p: float = 0.0,
+                   repetition_penalty: float = 1.0,
+                   seen: Optional[Array] = None) -> Array:
+    """Logit pipeline matching the reference sampler's semantics
+    (`mamba_ssm/utils/generation.py:45-106`), factored out so tests can
+    lock it against a numpy oracle:
+
+    1. CTRL-style repetition penalty over every token seen so far —
+       prompt AND generated (generation.py:220-224 penalizes
+       ``sequences_cat``): negative scores ×penalty, positive ÷penalty.
+       The reference gathers/scatters the (growing, dynamic-length)
+       token list; the static-shape TPU form is a carried per-batch
+       vocab PRESENCE MASK ``seen`` (bool (batch, vocab)) — scatter of
+       duplicate indices writes identical values, so mask semantics are
+       exactly equivalent.
+    2. top-k to -inf (generation.py:37-40).
+    3. temperature (applied after top-k selection, before top-p, as in
+       generation.py sample(): monotonic, so k-selection is unaffected).
+    4. nucleus/top-p: ascending-sorted cumulative softmax ≤ (1-p)
+       removed (generation.py:45-58). Removal is a prefix of the sorted
+       order, so it reduces to a per-row value threshold — no scatter.
+       With both k and p set, p filters within the k survivors (the
+       documented "top-k applied first, then top-p", generation.py:129).
+
+    Returns fp32 logits ready for `jax.random.categorical`.
+    """
+    logits = logits.astype(jnp.float32)
+    if repetition_penalty != 1.0 and seen is not None:
+        penalized = jnp.where(logits < 0, logits * repetition_penalty,
+                              logits / repetition_penalty)
+        logits = jnp.where(seen, penalized, logits)
+    if top_k is not None and top_k > 0:
+        vals = jax.lax.top_k(logits, min(top_k, logits.shape[-1]))[0]
+        logits = jnp.where(logits < vals[..., -1:], -jnp.inf, logits)
+    if temperature != 1.0:
+        logits = logits / temperature
+    if 0.0 < top_p < 1.0:
+        srt = jnp.sort(logits, axis=-1)                      # ascending
+        cum = jnp.cumsum(jax.nn.softmax(srt, axis=-1), axis=-1)
+        kept = cum > (1.0 - top_p)    # suffix; top-1 always kept
+        thresh = jnp.min(jnp.where(kept, srt, jnp.inf), axis=-1,
+                         keepdims=True)
+        logits = jnp.where(logits < thresh, -jnp.inf, logits)
+    return logits
+
+
 @functools.lru_cache(maxsize=32)
 def _decode_program(model: MambaLMHeadModel, max_new_tokens: int,
-                    temperature: float, top_k: Optional[int]):
+                    temperature: float, top_k: Optional[int],
+                    top_p: float, repetition_penalty: float,
+                    eos_token_id: Optional[int]):
     """One compiled program: fused prefill + a ``lax.scan`` decode loop.
 
     The whole generation is a single device program — the TPU-native
     equivalent of the reference's CUDA-graph-captured steady state
     (generation.py:282-…): no host round trip per token (critical through
     remote-execution relays, where each dispatch costs a network hop).
-    Keyed on the (hashable) module + static sampling config.
+    Keyed on the (hashable) module + static sampling config. Static
+    trace-time branching keeps unused features (penalty mask, eos done
+    flags) out of the scan carry entirely.
     """
+    use_pen = repetition_penalty != 1.0
+    greedy = temperature == 0.0 or top_k == 1   # generation.py:84
 
-    def sample(logits, key):
-        if temperature == 0.0:
+    def sample(logits, key, seen):
+        if greedy:
             return jnp.argmax(logits, axis=-1)
-        scaled = (logits / temperature).astype(jnp.float32)
-        if top_k is not None:
-            vals = jax.lax.top_k(scaled, top_k)[0]
-            scaled = jnp.where(scaled < vals[:, -1:], -jnp.inf, scaled)
-        return jax.random.categorical(key, scaled, axis=-1)
+        prepped = prepare_logits(logits, temperature, top_k, top_p,
+                                 repetition_penalty, seen)
+        return jax.random.categorical(key, prepped, axis=-1)
 
     def run(params, prompt, rng):
         logits_all, caches = model.apply(params, prompt, prefill=True)
+        vocab = logits_all.shape[-1]
+        seen0 = None
+        if use_pen:
+            seen0 = jnp.zeros((prompt.shape[0], vocab), jnp.bool_)
+            seen0 = seen0.at[
+                jnp.arange(prompt.shape[0])[:, None], prompt].set(True)
+        done0 = (None if eos_token_id is None
+                 else jnp.zeros((prompt.shape[0],), jnp.bool_))
 
         def body(carry, _):
-            logits, caches, key = carry
+            logits, caches, key, seen, done = carry
             key, sub = jax.random.split(key)
-            nxt = sample(logits, sub)
+            nxt = sample(logits, sub, seen)
+            if eos_token_id is not None:
+                # static shapes forbid early exit; the reference stops
+                # the host loop on all-eos (generation.py:200-206) — we
+                # pin every post-eos position to eos instead.
+                nxt = jnp.where(done, eos_token_id, nxt)
+                done = done | (nxt == eos_token_id)
+            if use_pen:
+                seen = seen.at[jnp.arange(nxt.shape[0]), nxt].set(True)
             step_logits, caches = model.apply(
                 params, nxt[:, None].astype(prompt.dtype), caches=caches)
-            return (step_logits[:, -1], caches, key), nxt
+            return (step_logits[:, -1], caches, key, seen, done), nxt
 
-        _, toks = jax.lax.scan(body, (logits_all[:, -1], caches, rng),
-                               None, length=max_new_tokens)
+        _, toks = jax.lax.scan(
+            body, (logits_all[:, -1], caches, rng, seen0, done0),
+            None, length=max_new_tokens)
         return toks.T.astype(prompt.dtype)           # (batch, T)
 
     return jax.jit(run)
@@ -233,8 +301,13 @@ def _decode_program(model: MambaLMHeadModel, max_new_tokens: int,
 
 def generate(model: MambaLMHeadModel, params, prompt: Array,
              max_new_tokens: int, temperature: float = 1.0,
-             top_k: Optional[int] = None, rng: Optional[Array] = None):
-    """Greedy/top-k sampling with a carried per-layer cache.
+             top_k: Optional[int] = None, top_p: float = 0.0,
+             repetition_penalty: float = 1.0,
+             eos_token_id: Optional[int] = None,
+             rng: Optional[Array] = None):
+    """Greedy/top-k/top-p sampling with repetition penalty and eos
+    pinning, over a carried per-layer cache — the full sampling surface
+    of the reference's `utils/generation.py` decode().
 
     Fused prefill (one full-sequence forward that also emits the caches)
     followed by an on-device ``lax.scan`` over single-token steps — the
@@ -243,6 +316,8 @@ def generate(model: MambaLMHeadModel, params, prompt: Array,
     """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     fn = _decode_program(model, int(max_new_tokens), float(temperature),
-                         None if top_k is None else int(top_k))
+                         None if top_k is None else int(top_k),
+                         float(top_p), float(repetition_penalty),
+                         None if eos_token_id is None else int(eos_token_id))
     toks = fn(params, prompt, rng)
     return jnp.concatenate([prompt, toks], axis=1)
