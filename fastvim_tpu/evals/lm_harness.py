@@ -91,15 +91,52 @@ def loglikelihood(model, params, pairs: Sequence[Tuple[Sequence[int],
     return results
 
 
+def rolling_windows(tokens: Sequence[int], max_seq_len: int,
+                    prefix_token: int) -> List[Tuple[List[int],
+                                                     List[int]]]:
+    """Split a document into the harness's rolling prediction windows:
+    lm_eval's ``get_rolling_token_windows(..., context_len=1)`` composed
+    with ``make_disjoint_window`` — every token of the document is
+    predicted exactly once; the first window conditions on the EOT
+    prefix token, each full later window on the single token before it,
+    and the final partial window keeps the longer trimmed context the
+    disjoint transform leaves (tokens [end-max-1, end-plen))."""
+    toks = list(tokens)
+    n = len(toks)
+    if n == 0:
+        return []
+    first = min(max_seq_len, n)
+    out = [([prefix_token], toks[:first])]
+    done = first
+    while done < n:
+        plen = min(n - done, max_seq_len)
+        end = done + plen
+        out.append((toks[end - max_seq_len - 1:end - plen],
+                    toks[end - plen:end]))
+        done = end
+    return out
+
+
 def loglikelihood_rolling(model, params,
                           token_lists: Sequence[Sequence[int]],
-                          batch_size: int = 16) -> List[float]:
-    """lm_eval ``loglikelihood_rolling``: full-sequence log-likelihood
-    with a 1-token context (the BOS-less rolling convention: the first
-    token conditions, the rest are scored)."""
-    pairs = [(list(t[:1]), list(t[1:])) for t in token_lists]
-    return [ll for ll, _ in loglikelihood(model, params, pairs,
-                                          batch_size)]
+                          batch_size: int = 16,
+                          max_seq_len: Optional[int] = None,
+                          prefix_token: int = 0) -> List[float]:
+    """lm_eval ``loglikelihood_rolling``: log-likelihood of EVERY token
+    of each document (the first predicted from ``prefix_token``, the
+    harness's EOT convention), summed over disjoint rolling windows of
+    at most ``max_seq_len`` predictions (all-in-one-window when None) —
+    documents longer than the model context are scored in full, not
+    truncated."""
+    pairs: List[Tuple[List[int], List[int]]] = []
+    spans: List[Tuple[int, int]] = []
+    for t in token_lists:
+        wins = rolling_windows(t, max_seq_len or max(len(t), 1),
+                               prefix_token)
+        spans.append((len(pairs), len(pairs) + len(wins)))
+        pairs.extend(wins)
+    lls = loglikelihood(model, params, pairs, batch_size)
+    return [float(sum(ll for ll, _ in lls[a:b])) for a, b in spans]
 
 
 def make_eval_wrapper(model, params, tokenizer, max_length: int = 2048,
@@ -136,9 +173,11 @@ def make_eval_wrapper(model, params, tokenizer, max_length: int = 2048,
             return loglikelihood(model, params, pairs, batch_size)
 
         def loglikelihood_rolling(self, requests):
-            toks = [self._enc(req.args[0])[:self._max_length]
-                    for req in requests]
-            return loglikelihood_rolling(model, params, toks, batch_size)
+            toks = [self._enc(req.args[0]) for req in requests]
+            return loglikelihood_rolling(
+                model, params, toks, batch_size,
+                max_seq_len=self._max_length,
+                prefix_token=getattr(self.tokenizer, "eos_token_id", 0))
 
         def generate_until(self, requests):
             from fastvim_tpu.models.lm import generate

@@ -131,10 +131,25 @@ def test_lm_harness_loglikelihood_matches_manual():
                   and int(np.argmax(logp[0, 3])) == 9)
     assert greedy == exp_greedy
 
-    # rolling = loglikelihood of t[1:] given t[:1]
+    # rolling = every token scored, first from the EOT prefix (lm_eval
+    # convention; one window when the doc fits)
     [r] = loglikelihood_rolling(model, params, [ctx + cont])
-    [(r2, _)] = loglikelihood(model, params, [([3], [5, 7, 2, 9])])
+    [(r2, _)] = loglikelihood(model, params, [([0], [3, 5, 7, 2, 9])])
     np.testing.assert_allclose(r, r2, rtol=1e-6)
+
+    # windowed rolling (doc longer than max_seq_len) sums the same
+    # disjoint windows scored individually
+    doc = [3, 5, 7, 2, 9, 4, 1, 6, 8]
+    [rw] = loglikelihood_rolling(model, params, [doc], max_seq_len=4,
+                                 prefix_token=0)
+    from fastvim_tpu.evals.lm_harness import rolling_windows
+
+    wins = rolling_windows(doc, 4, 0)
+    # final partial window keeps the longer disjoint-trimmed context
+    assert wins == [([0], [3, 5, 7, 2]), ([2], [9, 4, 1, 6]),
+                    ([9, 4, 1, 6], [8])]
+    parts = loglikelihood(model, params, wins)
+    np.testing.assert_allclose(rw, sum(p for p, _ in parts), rtol=1e-5)
 
     # batching with ragged lengths agrees with single-pair calls
     pairs = [(ctx, cont), ([1], [4, 6, 8]), ([2, 2, 2, 2, 2], [0])]
