@@ -47,16 +47,31 @@ def main(argv=None):
         layer_fused=cfg.get("layer_fused", "auto"),
         remat=cfg.get("remat", False))  # fit lever for Huge-scale
 
-    train_loader = create_imagenet_loader(
-        cfg["data"].get("dir"), "train", cfg["batch_size"],
-        cfg["img_size"], training=True,
-        num_workers=cfg.get("num_workers", 4), seed=cfg["seed"],
-        synthetic_samples=args.synthetic_samples)
-    val_loader = create_imagenet_loader(
-        cfg["data"].get("dir"), "val", cfg["batch_size"], cfg["img_size"],
-        training=False, synthetic_samples=args.synthetic_samples)
+    # device-resident path (data/device.py): for datasets that fit in
+    # HBM the whole epoch becomes ONE device program — the host loader
+    # bound the digits campaign to ~10 steps/s (VERDICT r4 weak #5)
+    device_resident = bool(cfg["data"].get("device_resident", False))
+    train_loader = val_loader = None
+    if device_resident:
+        if cfg["data"].get("dir") != "digits":
+            raise ValueError("data.device_resident supports data.dir="
+                             "digits (in-HBM datasets) for now")
+        from fastvim_tpu.data.device import load_device_digits
 
-    steps_per_epoch = max(len(train_loader), 1)
+        dev_data = load_device_digits(cfg["img_size"], seed=cfg["seed"])
+        steps_per_epoch = max(
+            int(dev_data[0].shape[0]) // cfg["batch_size"], 1)
+    else:
+        train_loader = create_imagenet_loader(
+            cfg["data"].get("dir"), "train", cfg["batch_size"],
+            cfg["img_size"], training=True,
+            num_workers=cfg.get("num_workers", 4), seed=cfg["seed"],
+            synthetic_samples=args.synthetic_samples)
+        val_loader = create_imagenet_loader(
+            cfg["data"].get("dir"), "val", cfg["batch_size"],
+            cfg["img_size"], training=False,
+            synthetic_samples=args.synthetic_samples)
+        steps_per_epoch = max(len(train_loader), 1)
     base_lr = scale_lr(cfg["lr"], cfg["batch_size"], world_size(),
                        cfg.get("scaling_rule", "deit"))
     lr_schedule = cosine_with_warmup(
@@ -90,6 +105,24 @@ def main(argv=None):
         if cfg.get("use_ema_weights", True) else None,
         grad_allreduce_dtype=jnp.dtype(gard) if gard else None)
     eval_step = make_supervised_eval_step(model)
+
+    if device_resident:
+        from fastvim_tpu.data.device import (
+            make_device_augment,
+            make_device_epoch_fn,
+            make_device_eval_fn,
+        )
+
+        tr_u8, tr_y, val_x, val_y, _ = dev_data
+        epoch_fn, spe = make_device_epoch_fn(
+            train_step, tr_u8, tr_y, cfg["batch_size"],
+            make_device_augment(cfg["img_size"]))
+        eval_fn = make_device_eval_fn(model, val_x, val_y,
+                                      cfg["batch_size"])
+        return run_training(
+            state=state, epochs=cfg["training_epochs"], rng=rng,
+            epoch_fn=epoch_fn, eval_fn=eval_fn, steps_per_epoch=spe,
+            save_dir=args.model_save_dir, resume=args.resume)
 
     state = run_training(
         state=state, train_step=train_step, train_loader=train_loader,

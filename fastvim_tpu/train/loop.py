@@ -75,8 +75,8 @@ def _batch_size(batch) -> int:
 def run_training(
     *,
     state,
-    train_step: Callable,
-    train_loader: Iterable,
+    train_step: Optional[Callable] = None,
+    train_loader: Optional[Iterable] = None,
     epochs: int,
     rng,
     eval_step: Optional[Callable] = None,
@@ -87,8 +87,17 @@ def run_training(
     resume: bool = False,
     shard_fn: Optional[Callable] = None,
     profile_dir: Optional[str] = None,
+    epoch_fn: Optional[Callable] = None,
+    eval_fn: Optional[Callable] = None,
+    steps_per_epoch: Optional[int] = None,
 ):
-    """Returns the final state. Minimal, dependency-free epoch loop."""
+    """Returns the final state. Minimal, dependency-free epoch loop.
+
+    Two data paths: the host loader path (``train_step`` +
+    ``train_loader``) and the device-resident path (``epoch_fn(state,
+    rng, epoch) -> (state, metric_means)`` + ``eval_fn(params) ->
+    metrics``, built by data/device.py) where one epoch is ONE device
+    program — checkpointing/EMA/CSV/resume behave identically."""
     logger = (CSVLogger(os.path.join(save_dir, "log.csv"))
               if save_dir else None)
     # TensorBoard scalars alongside the CSV (the reference's detection
@@ -114,40 +123,54 @@ def run_training(
                 params=restored["params"], opt_state=restored["opt_state"],
                 step=jax.numpy.asarray(int(restored["step"])),
                 ema_params=restored.get("ema_params", state.ema_params))
-            steps_per_epoch = max(len(train_loader), 1)
-            start_epoch = int(restored["step"]) // steps_per_epoch
+            spe = steps_per_epoch or max(len(train_loader), 1)
+            start_epoch = int(restored["step"]) // spe
             print(f"resumed from {path} at epoch {start_epoch}")
             if logger is not None:
                 logger.truncate_from_epoch(start_epoch)
 
     for epoch in range(start_epoch, epochs):
         t_epoch = time.perf_counter()
-        n_steps = 0
-        # Running per-epoch metric means accumulated ON DEVICE (one extra
-        # add per step, no host sync) — a single transfer at epoch end.
-        # The reference logs per-step through Lightning; per-step host
-        # syncs are slow through the TPU relay (VERDICT r1 weak #8).
-        metric_sums: Dict[str, Any] = {}
         if profile_dir and epoch == start_epoch:
             jax.profiler.start_trace(profile_dir)
-        for batch in train_loader:
-            if shard_fn is not None:
-                batch = shard_fn(batch)
-            state, metrics = train_step(state, batch, rng)
-            n_steps += 1
-            for k, v in metrics.items():
-                metric_sums[k] = (v if k not in metric_sums
-                                  else metric_sums[k] + v)
+        if epoch_fn is not None:
+            # device-resident path: the whole epoch is one program
+            state, means = epoch_fn(state, rng, epoch)
+            epoch_means = {k: float(v) for k, v in means.items()}
+            n_steps = steps_per_epoch or 1
+        else:
+            n_steps = 0
+            # Running per-epoch metric means accumulated ON DEVICE (one
+            # extra add per step, no host sync) — a single transfer at
+            # epoch end. The reference logs per-step through Lightning;
+            # per-step host syncs are slow through the TPU relay
+            # (VERDICT r1 weak #8).
+            metric_sums: Dict[str, Any] = {}
+            for batch in train_loader:
+                if shard_fn is not None:
+                    batch = shard_fn(batch)
+                state, metrics = train_step(state, batch, rng)
+                n_steps += 1
+                for k, v in metrics.items():
+                    metric_sums[k] = (v if k not in metric_sums
+                                      else metric_sums[k] + v)
+            epoch_means = {k: float(v) / n_steps
+                           for k, v in metric_sums.items()} if n_steps \
+                else {}
         if profile_dir and epoch == start_epoch:
             jax.profiler.stop_trace()
-        epoch_means = {k: float(v) / n_steps
-                       for k, v in metric_sums.items()} if n_steps else {}
         dt = time.perf_counter() - t_epoch
         row = {"epoch": epoch, "steps": n_steps,
                "steps_per_sec": n_steps / dt if dt > 0 else 0.0,
                **epoch_means}
 
-        if eval_step is not None and eval_loader is not None:
+        if eval_fn is not None:
+            row.update({f"val_{k}": float(v)
+                        for k, v in eval_fn(state.params).items()})
+            if state.ema_params is not None:
+                row.update({f"val_{k}_ema": float(v) for k, v in
+                            eval_fn(state.ema_params).items()})
+        elif eval_step is not None and eval_loader is not None:
             # collect device arrays; convert to floats once at the end.
             # Per-batch means are weighted by batch size — a ragged
             # final val batch must not skew the epoch metric

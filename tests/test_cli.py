@@ -48,6 +48,42 @@ def test_cli_train_classification(tmp_path, tiny_model_patch):
     assert os.path.exists(tmp_path / "out" / "log.csv")
 
 
+def test_cli_train_classification_device_resident(tmp_path,
+                                                  tiny_model_patch):
+    """device_resident: the whole epoch is one device program (data/
+    device.py) — wiring through the CLI, CSV log, checkpoint, EMA eval
+    columns."""
+    import csv
+
+    import yaml
+
+    cfg = {
+        "task": "classification", "seed": 0, "model": "fastvim_tiny",
+        "num_classes": 10, "img_size": 16, "patch_size": 8,
+        "channels": 3, "drop_path_rate": 0.0, "batch_size": 128,
+        "num_workers": 1, "training_epochs": 1, "warmup_epochs": 0,
+        "lr": 1e-3, "warmup_initial_lr": 0.0, "min_lr": 1e-5,
+        "scaling_rule": "none", "weight_decay": 0.05,
+        "use_ema_weights": True, "ema_decay": 0.99,
+        "label_smoothing": 0.1, "mixup": 0.0, "cutmix": 0.0,
+        "data": {"dir": "digits", "img_size": 16,
+                 "device_resident": True},
+    }
+    cfg_path = tmp_path / "dev.yaml"
+    cfg_path.write_text(yaml.dump(cfg))
+    from fastvim_tpu.cli.train_classification import main as train_main
+
+    state = train_main([
+        "--config_name", str(cfg_path), "--model_save_dir",
+        str(tmp_path / "out"),
+    ])
+    assert int(state.step) == 1497 // 128  # one device-program epoch
+    with open(tmp_path / "out" / "log.csv") as f:
+        [row] = list(csv.DictReader(f))
+    assert float(row["val_acc"]) >= 0.0
+    assert "val_acc_ema" in row and float(row["train_loss"]) > 0
+
+
 @pytest.fixture
 def tiny_model_patch(monkeypatch):
     """Shrink registry models so CLI smoke tests run fast on CPU."""
