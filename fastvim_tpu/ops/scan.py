@@ -82,6 +82,118 @@ def _prepare(u, delta, A, B, C, delta_bias, delta_softplus):
     return u, a, b, Cx
 
 
+def _split_complex_bc(mat: Array, L: int):
+    """B/C for the complex-A path → (real, imag) in the standard real
+    layouts `_expand_bc` accepts.
+
+    Accepted forms (mirroring `selective_scan_ref`'s complex handling,
+    selective_scan_interface.py:161-168):
+      complex (d, n) / (batch, L, n) / (batch, L, g, n)   — JAX-native
+      real    (batch, 2L, n) / (batch, 2L, g, n)          — the torch
+        ``view_as_complex`` convention: time-interleaved (re, im) pairs
+    """
+    if jnp.iscomplexobj(mat):
+        return jnp.real(mat), jnp.imag(mat)
+    if mat.ndim >= 3 and mat.shape[1] == 2 * L:
+        pairs = mat.reshape(mat.shape[0], L, 2, *mat.shape[2:])
+        return pairs[:, :, 0], pairs[:, :, 1]
+    # real-valued B/C with a complex A: imaginary part is zero
+    return mat, jnp.zeros_like(mat)
+
+
+def _prepare_complex(u, delta, A, B, C, delta_bias, delta_softplus):
+    """Complex-A preparation in REAL-PAIR arithmetic (TPU-native: XLA's
+    complex support on TPU is emulated pairwise anyway; doing it
+    explicitly keeps every array a plain fp32 tensor in the (batch, L,
+    n, d) scan layout).
+
+    a[t] = exp(delta·(Ar + i·Ai)) = exp(delta·Ar)·(cos(delta·Ai) +
+    i·sin(delta·Ai)).
+    """
+    batch, L, d = u.shape
+    n = A.shape[1]
+    u = u.astype(jnp.float32)
+    delta = delta.astype(jnp.float32)
+    if delta_bias is not None:
+        delta = delta + delta_bias.astype(jnp.float32)[None, None, :]
+    if delta_softplus:
+        delta = jax.nn.softplus(delta)
+    Ar = jnp.real(A).T.astype(jnp.float32)  # (n, d)
+    Ai = jnp.imag(A).T.astype(jnp.float32)
+    mag = jnp.exp(delta[:, :, None, :] * Ar[None, None])
+    ang = delta[:, :, None, :] * Ai[None, None]
+    aR, aI = mag * jnp.cos(ang), mag * jnp.sin(ang)
+    BR, BI = _split_complex_bc(B, L)
+    BxR = _expand_bc(BR, batch, L, d, n)
+    BxI = _expand_bc(BI, batch, L, d, n)
+    du = delta[:, :, None, :] * u[:, :, None, :]
+    bR, bI = du * BxR, du * BxI
+    CR, CI = _split_complex_bc(C, L)
+    CxR = _expand_bc(CR, batch, L, d, n)
+    CxI = _expand_bc(CI, batch, L, d, n)
+    return u, (aR, aI), (bR, bI), (CxR, CxI)
+
+
+def _assoc_combine_complex(left, right):
+    """(a, b) linear-recurrence combine over ℂ in real pairs:
+    a ← a2·a1, b ← a2·b1 + b2 (same 2×2 algebra as `_assoc_combine`,
+    lifted to complex — the N4 SSMScanOp complex float4 combine,
+    selective_scan_common.h)."""
+    a1R, a1I, b1R, b1I = left
+    a2R, a2I, b2R, b2I = right
+    return (a2R * a1R - a2I * a1I,
+            a2R * a1I + a2I * a1R,
+            a2R * b1R - a2I * b1I + b2R,
+            a2R * b1I + a2I * b1R + b2I)
+
+
+def _selective_scan_complex(u, delta, A, B, C, D=None, z=None,
+                            delta_bias=None, delta_softplus=False,
+                            return_last_state=False, reverse=False,
+                            sequential=False):
+    """Complex-A selective scan: y[t] = 2·Re(<C[t], h[t]>) with the
+    recurrence over ℂ^n (selective_scan_ref's `y.real * 2`,
+    selective_scan_interface.py:198). Output is real; last_state is
+    complex64 (batch, d, n)."""
+    dtype = u.dtype
+    u32, (aR, aI), (bR, bI), (CxR, CxI) = _prepare_complex(
+        u, delta, A, B, C, delta_bias, delta_softplus)
+    batch, L, d = u.shape
+    n = A.shape[1]
+    if sequential:
+        if reverse:
+            flip = lambda x: x[:, ::-1]
+            aR, aI, bR, bI = map(flip, (aR, aI, bR, bI))
+
+        def step(h, ab):
+            atR, atI, btR, btI = ab
+            hR, hI = h
+            h = (atR * hR - atI * hI + btR,
+                 atR * hI + atI * hR + btI)
+            return h, h
+
+        h0 = (jnp.zeros((batch, n, d), jnp.float32),) * 2
+        mov = lambda x: jnp.moveaxis(x, 1, 0)
+        h_last, hs = lax.scan(step, h0,
+                              (mov(aR), mov(aI), mov(bR), mov(bI)))
+        hsR, hsI = (jnp.moveaxis(h, 0, 1) for h in hs)
+        if reverse:
+            hsR, hsI = hsR[:, ::-1], hsI[:, ::-1]
+        lastR, lastI = h_last
+    else:
+        _, _, hsR, hsI = lax.associative_scan(
+            _assoc_combine_complex, (aR, aI, bR, bI), axis=1,
+            reverse=reverse)
+        t_last = 0 if reverse else -1
+        lastR, lastI = hsR[:, t_last], hsI[:, t_last]
+    y = 2.0 * jnp.sum(hsR * CxR - hsI * CxI, axis=2)
+    out = _finalize(y, u32, D, z, dtype)
+    if return_last_state:
+        last = jax.lax.complex(lastR, lastI).astype(jnp.complex64)
+        return out, jnp.swapaxes(last, 1, 2)  # (batch, d, n) complex
+    return out
+
+
 def _finalize(y, u, D, z, dtype):
     if D is not None:
         y = y + u * D.astype(jnp.float32)[None, None, :]
@@ -193,7 +305,23 @@ def selective_scan(
     Pallas chunked kernel for long ones on TPU (falling back to assoc
     elsewhere). reverse=True scans right-to-left with output in original
     order (the flip-free bidirectional path).
+
+    Complex A (the reference's wtype=complex64 path,
+    test_selective_scan.py) is supported by the ref/assoc impls in
+    real-pair arithmetic; B/C may be complex or torch-convention real
+    (batch, 2L, n[, g]) interleaved pairs. No reference model uses it,
+    so it intentionally has no Pallas kernel.
     """
+    if jnp.iscomplexobj(A):
+        if impl == "pallas":
+            raise ValueError("complex-A selective scan has no Pallas "
+                             "kernel (unused by every reference model); "
+                             "use impl='auto'/'assoc'/'ref'")
+        return _selective_scan_complex(
+            u, delta, A, B, C, D=D, z=z, delta_bias=delta_bias,
+            delta_softplus=delta_softplus,
+            return_last_state=return_last_state, reverse=reverse,
+            sequential=(impl == "ref"))
     if impl == "auto":
         L = u.shape[1]
         on_tpu = jax.default_backend() == "tpu"

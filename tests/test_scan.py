@@ -308,3 +308,147 @@ def test_pallas_native_reverse_no_flips():
                                   impl="pallas", reverse=True))(
         u, delta, A, B, C)
     assert "rev" not in str(jaxpr)
+
+
+# ---------------------------------------------------------------------------
+# Complex-A path (reference test_selective_scan.py wtype=complex64)
+# ---------------------------------------------------------------------------
+
+def numpy_scan_complex(u, delta, A, B, C, D=None, z=None,
+                       delta_bias=None, delta_softplus=False):
+    """Independent complex oracle: the recurrence over C^n with
+    y = 2*Re(<C, h>) (selective_scan_ref, selective_scan_interface.py:
+    190-199). B/C complex (batch, L, n) or (d, n)."""
+    u = np.asarray(u, np.float64)
+    delta = np.asarray(delta, np.float64)
+    if delta_bias is not None:
+        delta = delta + np.asarray(delta_bias, np.float64)[None, None]
+    if delta_softplus:
+        delta = np.logaddexp(0.0, delta)
+    batch, L, d = u.shape
+    n = A.shape[1]
+    A = np.asarray(A, np.complex128)
+    B = np.asarray(B, np.complex128)
+    C = np.asarray(C, np.complex128)
+    h = np.zeros((batch, d, n), np.complex128)
+    ys = np.zeros((batch, L, d))
+    for t in range(L):
+        dA = np.exp(delta[:, t, :, None] * A[None])
+        if B.ndim == 2:
+            dBu = delta[:, t, :, None] * B[None] * u[:, t, :, None]
+        else:
+            dBu = (delta[:, t, :, None] * B[:, t][:, None, :]
+                   * u[:, t, :, None])
+        h = dA * h + dBu
+        if C.ndim == 2:
+            y = np.einsum("bdn,dn->bd", h, C)
+        else:
+            y = np.einsum("bdn,bn->bd", h, C[:, t])
+        ys[:, t] = 2.0 * y.real
+    if D is not None:
+        ys = ys + u * np.asarray(D, np.float64)[None, None]
+    if z is not None:
+        zz = np.asarray(z, np.float64)
+        ys = ys * (zz / (1 + np.exp(-zz)))
+    return ys, h
+
+
+def make_complex_inputs(rng, batch, L, d, n, var_bc=True):
+    ks = jax.random.split(rng, 9)
+    u = jax.random.normal(ks[0], (batch, L, d))
+    delta = 0.5 * jax.random.normal(ks[1], (batch, L, d))
+    # stable complex A: negative real part, bounded imaginary part
+    A = (-jnp.exp(jax.random.normal(ks[2], (d, n)) * 0.5)
+         + 1j * jax.random.normal(ks[8], (d, n)))
+    if var_bc:
+        B = (jax.random.normal(ks[3], (batch, L, n))
+             + 1j * jax.random.normal(ks[5], (batch, L, n)))
+        C = (jax.random.normal(ks[4], (batch, L, n))
+             + 1j * jax.random.normal(ks[6], (batch, L, n)))
+    else:
+        B = (jax.random.normal(ks[3], (d, n))
+             + 1j * jax.random.normal(ks[5], (d, n)))
+        C = (jax.random.normal(ks[4], (d, n))
+             + 1j * jax.random.normal(ks[6], (d, n)))
+    D = jax.random.normal(ks[7], (d,))
+    z = jax.random.normal(ks[5], (batch, L, d))
+    bias = 0.1 * jax.random.normal(ks[6], (d,))
+    return u, delta, A, B, C, D, z, bias
+
+
+@pytest.mark.parametrize("impl", ["ref", "assoc", "auto"])
+@pytest.mark.parametrize("var_bc", [True, False])
+def test_complex_scan_matches_numpy(impl, var_bc):
+    u, delta, A, B, C, D, z, bias = make_complex_inputs(
+        jax.random.PRNGKey(0), 2, 17, 6, 4, var_bc)
+    out, last = selective_scan(
+        u, delta, A, B, C, D=D, z=z, delta_bias=bias,
+        delta_softplus=True, return_last_state=True, impl=impl)
+    want, h_want = numpy_scan_complex(
+        u, delta, A, B, C, D=D, z=z, delta_bias=bias, delta_softplus=True)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=2e-4,
+                               atol=2e-4)
+    assert out.dtype == u.dtype and not jnp.iscomplexobj(out)
+    assert last.dtype == jnp.complex64 and last.shape == (2, 6, 4)
+    np.testing.assert_allclose(np.asarray(last), h_want, rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_complex_scan_torch_interleaved_bc_convention():
+    """Real B/C with time dim 2L (the torch view_as_complex layout,
+    selective_scan_interface.py:161-168) equal the complex-array form."""
+    u, delta, A, B, C, D, z, bias = make_complex_inputs(
+        jax.random.PRNGKey(1), 2, 9, 5, 3, var_bc=True)
+    b2 = jnp.stack([jnp.real(B), jnp.imag(B)], 2).reshape(2, 18, 3)
+    c2 = jnp.stack([jnp.real(C), jnp.imag(C)], 2).reshape(2, 18, 3)
+    out_c = selective_scan(u, delta, A, B, C, D=D, z=z, delta_bias=bias,
+                           delta_softplus=True)
+    out_r = selective_scan(u, delta, A, b2, c2, D=D, z=z,
+                           delta_bias=bias, delta_softplus=True)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_r),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("impl", ["ref", "assoc"])
+def test_complex_reverse_equals_flip_scan_flip(impl):
+    u, delta, A, B, C, D, z, bias = make_complex_inputs(
+        jax.random.PRNGKey(2), 2, 13, 4, 3, var_bc=True)
+    rev = selective_scan(u, delta, A, B, C, D=D, z=z, delta_bias=bias,
+                         delta_softplus=True, reverse=True, impl=impl)
+    flip = selective_scan(u[:, ::-1], delta[:, ::-1], A, B[:, ::-1],
+                          C[:, ::-1], D=D, z=z[:, ::-1],
+                          delta_bias=bias, delta_softplus=True,
+                          impl=impl)[:, ::-1]
+    np.testing.assert_allclose(np.asarray(rev), np.asarray(flip),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_complex_scan_grads_finite_and_match_impls():
+    u, delta, A, B, C, D, z, bias = make_complex_inputs(
+        jax.random.PRNGKey(3), 1, 11, 4, 3, var_bc=True)
+
+    def loss(impl):
+        def f(args):
+            u_, d_ = args
+            out = selective_scan(u_, d_, A, B, C, D=D, z=z,
+                                 delta_bias=bias, delta_softplus=True,
+                                 impl=impl)
+            return jnp.sum(out ** 2)
+
+        return jax.grad(f)((u, delta))
+
+    gu_r, gd_r = loss("ref")
+    gu_a, gd_a = loss("assoc")
+    for g in (gu_r, gd_r, gu_a, gd_a):
+        assert np.isfinite(np.asarray(g)).all()
+    np.testing.assert_allclose(np.asarray(gu_r), np.asarray(gu_a),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gd_r), np.asarray(gd_a),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_complex_scan_rejects_pallas():
+    u, delta, A, B, C, D, z, bias = make_complex_inputs(
+        jax.random.PRNGKey(4), 1, 8, 4, 3)
+    with pytest.raises(ValueError, match="no Pallas"):
+        selective_scan(u, delta, A, B, C, impl="pallas")
