@@ -270,8 +270,12 @@ FAMILY_GUARDS = {
     # round-2 sweep: supervised train @224 b40 (14x14 grid not fusable);
     # r5 run-1 child measured 1358.4 — guard kept at the win value
     "fastvim_t_224_train_img_s": 1272.0,
-    # STATUS r3: det/seg train steps @512 b8 with fused backbone
-    "det_512_b8_train_img_s": 25.6,
+    # r5 re-base: det runs the XLA backbone path (the fused adjoint
+    # backward crashes the TPU worker inside the det program — bisect in
+    # docs/PERF.md §12; config layer_fused: "off", which also measures
+    # FASTER this epoch than the r3 fused guard 25.6)
+    "det_512_b8_train_img_s": 29.6,
+    # STATUS r3 guard; r5 clean-child re-measured 182.2 (green)
     "seg_512_b8_train_img_s": 177.0,
 }
 
