@@ -254,3 +254,21 @@ def test_cli_detection_eval_only(tmp_path, tiny_model_patch):
     ])
     assert 0.0 <= m["box_ap50"] <= 1.0
     assert 0.0 <= m["mask_ap50"] <= 1.0
+
+
+def test_detection_configs_disable_megakernel():
+    """Round-5 regression pin: the fused ADJOINT backward reproducibly
+    crashed the TPU worker inside the detection train program (bisect in
+    docs/PERF.md §12 — same kernels/shapes pass standalone and in seg),
+    so detection configs ship the XLA backbone path. If this flips back
+    to auto/on, re-run benchmarks/probe512_tpu.py and the det family on
+    hardware first."""
+    from fastvim_tpu.cli.train_detection import build_model
+    from fastvim_tpu.config import load_config
+
+    for name in ("vitdet_FastVimT_coco", "vitdet_FastVimS_coco",
+                 "vitdet_FastVimB_coco"):
+        cfg = load_config(name, domain="detection")
+        assert cfg.get("layer_fused") == "off", name
+        model, _ = build_model(dict(cfg, img_size=64))
+        assert model.backbone.layer_fused == "off", name
