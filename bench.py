@@ -262,11 +262,18 @@ def headline():
 # they track the freshest clean-context value; tolerance ±15% (the
 # chip/relay drifts ±7% across hours, docs/PERF.md §6).
 FAMILY_GUARDS = {
-    # PERF.md §8 win (r4): 392.9; re-based r5 (§11), routing win locked
-    # separately by benchmarks/family_shortfall_ab_tpu.py
-    "mae_base_pretrain_img_s": 257.2,
+    # Dict order = execution order = cheapest child first, so a tight
+    # driver budget lands as many guards as possible before the
+    # time-box marks the rest skipped_for_time (det compiles are the
+    # heaviest program in the repo — always last).
     # PERF.md §7 win (r3): 218.8; re-based r5 (§11) — clean-child value
     "channelvim_s_train_img_s": 122.7,
+    # STATUS r3 guard; r5 clean-child re-measured 182.2 (green)
+    "seg_512_b8_train_img_s": 177.0,
+    # PERF.md §8 win (r4): 392.9; re-based r5 (§11), routing win locked
+    # separately by benchmarks/family_shortfall_ab_tpu.py; r5 clean
+    # child 246.4 (green vs 257.2 at ±15%)
+    "mae_base_pretrain_img_s": 257.2,
     # round-2 sweep: supervised train @224 b40 (14x14 grid not fusable);
     # r5 run-1 child measured 1358.4 — guard kept at the win value
     "fastvim_t_224_train_img_s": 1272.0,
@@ -275,8 +282,6 @@ FAMILY_GUARDS = {
     # docs/PERF.md §12; config layer_fused: "off", which also measures
     # FASTER this epoch than the r3 fused guard 25.6)
     "det_512_b8_train_img_s": 29.6,
-    # STATUS r3 guard; r5 clean-child re-measured 182.2 (green)
-    "seg_512_b8_train_img_s": 177.0,
 }
 
 
@@ -321,16 +326,19 @@ def families(results, budget, tol=0.15, per_family_timeout=2400):
     with a parent full of compiled headline programs. The loop is
     time-boxed (VERDICT r4 #1d): families that don't fit the remaining
     driver window are marked ``skipped_for_time``, never allowed to
-    push the process into the driver's kill."""
-    fam, ok = {}, True
+    push the process into the driver's kill.
+
+    Artifact semantics: ``families_ok`` = no regression among the
+    guards that RAN (a time-boxed skip is missing evidence, not a
+    regression); ``families_complete`` = all guards actually ran."""
+    fam, ok, complete = {}, True, True
     for key, guard in FAMILY_GUARDS.items():
         remaining = budget - (time.time() - T_START)
         if remaining < 120:
-            fam[key] = {"skipped_for_time": True, "guard": guard,
-                        "ok": False}
-            ok = False
+            fam[key] = {"skipped_for_time": True, "guard": guard}
+            complete = False
             results["families"] = fam
-            results["families_ok"] = ok
+            results["families_complete"] = complete
             _emit(results, partial=True)
             continue
         entry = None
@@ -359,6 +367,7 @@ def families(results, budget, tol=0.15, per_family_timeout=2400):
         ok &= passed
         results["families"] = fam
         results["families_ok"] = ok
+        results["families_complete"] = complete
         _emit(results, partial=True)
     return fam, ok
 
@@ -386,22 +395,23 @@ def sweep(tol: float = 0.05):
             except Exception as e:
                 rates[b] = None
                 print(json.dumps({"img": img, "batch": b,
-                                  "error": str(e)[:120]}))
+                                  "error": str(e)[:120]}), flush=True)
         valid = {b: r for b, r in rates.items() if r}
         if not valid:  # every batch failed — report, don't crash
             ok = False
             print(json.dumps({"img": img, "pinned_batch": pin,
                               "sweep": rates, "best_batch": None,
                               "pin_within_tol": False,
-                              "error": "all batches failed"}))
+                              "error": "all batches failed"}),
+                  flush=True)
             continue
         best_b = max(valid, key=valid.get)
         pin_ok = valid.get(pin, 0.0) >= (1 - tol) * valid[best_b]
         ok &= pin_ok
         print(json.dumps({"img": img, "pinned_batch": pin,
                           "sweep": rates, "best_batch": best_b,
-                          "pin_within_tol": pin_ok}))
-    print(json.dumps({"sweep_ok": ok}))
+                          "pin_within_tol": pin_ok}), flush=True)
+    print(json.dumps({"sweep_ok": ok}), flush=True)
     return 0 if ok else 1
 
 
