@@ -66,20 +66,24 @@ def flops_per_image(img_size, patch=16, d=192, d_inner=384, depth=24,
     return depth * per_layer + stem
 
 
-def make_looped(model, params, x, n):
+def make_looped(model, params, x):
+    """On-device loop with the trip count as a TRACED jit argument, so
+    both loop lengths share ONE compiled program (the round-5 lap
+    measured ~70-100 s of warm cache-load/compile per extra program
+    through the relay; train_throughput already used this trick)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     @jax.jit
-    def run(params, x):
+    def run(params, x, n):
         def body(i, s):
             out = model.apply(params, x + s)
             return jnp.sum(out.astype(jnp.float32)) * 1e-30
 
         return lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    return lambda: float(run(params, x))
+    return lambda n: float(run(params, x, n))
 
 
 def time_fn(fn, reps=3):
@@ -110,11 +114,10 @@ def throughput(model_name, img_size, batch, n1=4, n2=12,
     x = jax.random.normal(jax.random.PRNGKey(1),
                           (batch, img_size, img_size, 3), dtype)
     params = model.init(jax.random.PRNGKey(0), x)
-    f1 = make_looped(model, params, x, n1)
-    f2 = make_looped(model, params, x, n2)
-    f1()  # compile
-    f2()
-    dt = (time_fn(f2) - time_fn(f1)) / (n2 - n1)
+    f = make_looped(model, params, x)
+    f(n1)  # one compile, shared by both loop lengths (n is traced)
+    f(n2)
+    dt = (time_fn(lambda: f(n2)) - time_fn(lambda: f(n1))) / (n2 - n1)
     return batch / dt
 
 
@@ -330,11 +333,17 @@ def families(results, budget, tol=0.15, per_family_timeout=2400):
 
     Artifact semantics: ``families_ok`` = no regression among the
     guards that RAN (a time-boxed skip is missing evidence, not a
-    regression); ``families_complete`` = all guards actually ran."""
+    regression); ``families_complete`` = all guards actually ran.
+
+    A family is only STARTED if the remaining budget covers its
+    expected warm-cache child cost (round-5 lap: ~300-320 s each, det
+    the heaviest) — starting a child that will hit the budget timeout
+    would read as a failure when it is really missing evidence."""
+    expected_s = {"det_512_b8_train_img_s": 500}
     fam, ok, complete = {}, True, True
     for key, guard in FAMILY_GUARDS.items():
         remaining = budget - (time.time() - T_START)
-        if remaining < 120:
+        if remaining < expected_s.get(key, 380):
             fam[key] = {"skipped_for_time": True, "guard": guard}
             complete = False
             results["families"] = fam
